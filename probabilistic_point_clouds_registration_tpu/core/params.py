@@ -1,0 +1,70 @@
+"""Registration parameters.
+
+Field-for-field mirror of the reference config struct
+(include/prob_point_cloud_registration/prob_point_cloud_registration_params.hpp:5-18),
+plus TPU-specific knobs (dtype, padding, device mesh) that have no reference
+counterpart because the reference is a single-threaded CPU library.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass
+class RegistrationParams:
+    """Configuration for probabilistic point-cloud registration.
+
+    Defaults mirror prob_point_cloud_registration_params.hpp:6-17. Note the
+    CLI overrides ``radius`` to 3 (prob_point_cloud_registration_ex.cc:49);
+    the struct default here stays 1 for parity.
+    """
+
+    # --- reference-parity fields -------------------------------------------
+    max_neighbours: int = 20
+    dof: float = 5.0  # degrees of freedom of the t-distribution; inf = Gaussian
+    radius: float = 1.0
+    n_iter: int = 1000  # max outer iterations
+    cost_drop_thresh: float = 0.01
+    n_cost_drop_it: int = 5  # consecutive low-cost-drop iterations tolerated
+    verbose: bool = False
+    summary: bool = False
+    initial_rotation: Tuple[float, float, float, float] = (1.0, 0.0, 0.0, 0.0)
+    initial_translation: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    source_filter_size: float = 0.0
+    target_filter_size: float = 0.0
+
+    # --- inner-solver knobs (Ceres options in the reference) ----------------
+    # function_tolerance = 10e-6 (src/prob_point_cloud_registration.cc:97).
+    function_tolerance: float = 1e-5
+    # The reference sets max_num_iterations = INT_MAX (...cc:96); a jittable
+    # while_loop still needs a sane bound for wall-clock safety.
+    max_inner_iterations: int = 100
+    # Ceres trust-region defaults reproduced by the LM loop.
+    initial_trust_region_radius: float = 1e4
+    min_lm_diagonal: float = 1e-6
+    max_lm_diagonal: float = 1e32
+    min_relative_decrease: float = 1e-3
+    use_nonmonotonic_steps: bool = True  # ...cc:90
+
+    # --- TPU-native knobs ----------------------------------------------------
+    dtype: str = "float32"
+    # Pad source/target point counts to multiples of this for static shapes.
+    pad_multiple: int = 256
+    # Neighbor-search engine: "auto" | "xla" | "pallas".
+    search_impl: str = "auto"
+    # Tile size over the target axis in the streaming top-k search.
+    search_target_tile: int = 2048
+
+    @property
+    def is_gaussian(self) -> bool:
+        return math.isinf(self.dof)
+
+    def validate(self) -> None:
+        if self.max_neighbours <= 0:
+            raise ValueError("max_neighbours must be positive")
+        if not (self.dof > 0):
+            raise ValueError("dof must be positive (inf selects the Gaussian model)")
+        if self.radius <= 0:
+            raise ValueError("radius must be positive")
