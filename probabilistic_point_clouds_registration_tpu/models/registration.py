@@ -1,0 +1,306 @@
+"""Probabilistic point-cloud registration: the outer EM-ICP loop.
+
+TPU-native equivalent of the reference's main class
+(prob_point_cloud_registration.h:18-64, src/prob_point_cloud_registration.cc:15-158):
+
+  while not converged:
+    re-associate (radius-capped KNN against the target)      cc:66-83
+    inner EM solve for an incremental SE(3)                  cc:85-100
+    left-compose onto the cumulative transform               cc:101-107
+    move the source clouds                                   cc:110-112
+    track cost drop + CSV report row                         cc:119-129
+
+Division of labor: per-iteration compute (move cloud -> search -> gather ->
+EM-LM solve) is ONE jitted device program with static padded shapes, compiled
+once per cloud-size bucket; the host only composes 4x4 float64 transforms,
+evaluates convergence on two scalars, and appends report rows. No kd-tree is
+ever (re)built — the search op is stateless, which deletes the reference's
+per-iteration tree-build cost (cc:66-67) outright.
+
+Fidelity notes:
+  * The inner solve is seeded with params.initial_rotation/translation every
+    outer iteration, exactly like the reference (iteration.hpp:31-34) — with
+    the default identity this is the natural "solve from where the cloud is".
+  * The target is voxel-filtered before use when target_filter_size > 0
+    (cc:34-41). The reference mutates the caller's cloud in place; here the
+    caller's array is left alone (deliberate fix of an API landmine — the
+    filtered target is an internal copy).
+  * Convergence reproduces cc:138-158 including the quirk that the check runs
+    before the first iteration with cost_drop == 0, so the stall counter
+    effectively starts at 1.
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.params import RegistrationParams
+from ..core.se3 import SE3, matrix_euler_xyz, matrix_to_quat, quat_normalize, se3_to_matrix
+from ..core.types import pad_cloud, valid_mask
+from ..ops.neighbors import radius_search
+from ..ops.voxel import voxel_downsample
+from ..utils.eval import calculate_mse
+from ..utils.ostream import OutputStream
+from .em_lm import LMConfig, em_lm_solve
+
+REPORT_HEADER = (
+    "iter, n_success_steps, initial_cost, final_cost, tx, ty, tz, "
+    "roll, pitch, yaw, mse_prev_iter, mse_gtruth"
+)
+
+
+@partial(jax.jit, static_argnames=("k", "radius", "lm_config", "target_tile"))
+def _registration_step(
+    filtered_source,
+    target,
+    source_valid,
+    target_valid,
+    q_cum,
+    t_cum,
+    q0,
+    t0,
+    *,
+    k: int,
+    radius: float,
+    lm_config: LMConfig,
+    target_tile: int,
+):
+    """One fused outer iteration: move -> associate -> inner EM solve."""
+    from ..core.se3 import quat_rotate
+
+    moved = quat_rotate(q_cum, filtered_source) + t_cum
+    corr = radius_search(
+        moved,
+        target,
+        k=k,
+        radius=radius,
+        source_valid=source_valid,
+        target_valid=target_valid,
+        target_tile=target_tile,
+    )
+    gathered = target[corr.indices]
+    result = em_lm_solve(moved, gathered, corr.mask, q0, t0, lm_config)
+    n_corr = jnp.sum(corr.mask)
+    return result, n_corr
+
+
+@dataclass
+class IterationRecord:
+    """One outer-iteration report row (the CSV columns at cc:44-46)."""
+
+    iteration: int
+    num_successful_steps: int
+    initial_cost: float
+    final_cost: float
+    translation: np.ndarray  # cumulative (3,)
+    rpy_deg: np.ndarray  # cumulative roll/pitch/yaw, degrees, Eigen (0,1,2)
+    mse_prev_iter: float
+    mse_ground_truth: float
+    num_correspondences: int
+
+    def csv(self) -> str:
+        t = self.translation
+        r = self.rpy_deg
+        return (
+            f"{self.iteration}, {self.num_successful_steps}, {self.initial_cost}, "
+            f"{self.final_cost}, {t[0]}, {t[1]}, {t[2]}, {r[0]}, {r[1]}, {r[2]}, "
+            f"{self.mse_prev_iter}, {self.mse_ground_truth}"
+        )
+
+
+class ProbabilisticRegistration:
+    """Outer registration loop (ProbPointCloudRegistration equivalent).
+
+    Args:
+      source_cloud: (n, 3) numpy array.
+      target_cloud: (m, 3) numpy array (not mutated).
+      params: RegistrationParams.
+      ground_truth_cloud: optional (n, 3) aligned ground truth for the source;
+        enables the MSE-vs-ground-truth column (cc:50-61).
+    """
+
+    def __init__(
+        self,
+        source_cloud: np.ndarray,
+        target_cloud: np.ndarray,
+        params: RegistrationParams,
+        ground_truth_cloud: Optional[np.ndarray] = None,
+    ):
+        params.validate()
+        self.params = params
+        self.out = OutputStream(params.verbose)
+        self.dtype = jnp.dtype(params.dtype)
+
+        self.source_cloud = np.array(source_cloud, dtype=np.float64)
+        if params.source_filter_size > 0:
+            self.out << f"Filtering source point cloud with leaf of size {params.source_filter_size}\n"
+            self.filtered_source = voxel_downsample(self.source_cloud, params.source_filter_size)
+        else:
+            self.filtered_source = self.source_cloud.copy()
+        target = np.asarray(target_cloud, dtype=np.float64)
+        if params.target_filter_size > 0:
+            self.out << f"Filtering target point cloud with leaf of size {params.target_filter_size}\n"
+            target = voxel_downsample(target, params.target_filter_size)
+        self.target_cloud = target
+
+        self.ground_truth = ground_truth_cloud is not None
+        self.mse_ground_truth = 0.0
+        if self.ground_truth:
+            self.ground_truth_cloud = np.array(ground_truth_cloud, dtype=np.float64)
+            self.mse_ground_truth = calculate_mse(self.source_cloud, self.ground_truth_cloud)
+            self.out << f"Initial MSE w.r.t. ground truth: {self.mse_ground_truth}\n"
+
+        # Device-resident padded arrays (static shapes; compiled once).
+        pad = params.pad_multiple
+        fs, self._n_src = pad_cloud(self.filtered_source, pad, pad_value=0.0)
+        tg, self._n_tgt = pad_cloud(self.target_cloud, pad, pad_value=0.0)
+        self._filtered_src_dev = jnp.asarray(fs, dtype=self.dtype)
+        self._target_dev = jnp.asarray(tg, dtype=self.dtype)
+        self._src_valid = valid_mask(fs.shape[0], self._n_src)
+        self._tgt_valid = valid_mask(tg.shape[0], self._n_tgt)
+
+        self._lm_config = LMConfig(
+            dof=params.dof,
+            dimension=3,
+            function_tolerance=params.function_tolerance,
+            max_iterations=params.max_inner_iterations,
+            initial_radius=params.initial_trust_region_radius,
+            min_lm_diagonal=params.min_lm_diagonal,
+            max_lm_diagonal=params.max_lm_diagonal,
+            min_relative_decrease=params.min_relative_decrease,
+            use_nonmonotonic_steps=params.use_nonmonotonic_steps,
+        )
+
+        self.transformation_history: List[np.ndarray] = []
+        self.records: List[IterationRecord] = []
+        self.current_iteration = 0
+        self.cost_drop = 0.0
+        self.num_unuseful_iter = 0
+        self.mse_prev_it = 0.0
+        self._prev_source = self.source_cloud.copy() if params.summary else None
+
+    # -- reference API ------------------------------------------------------
+
+    def align(self) -> np.ndarray:
+        """Run the outer loop to convergence; returns the final 4x4 transform."""
+        p = self.params
+        q0 = jnp.asarray(p.initial_rotation, dtype=self.dtype)
+        t0 = jnp.asarray(p.initial_translation, dtype=self.dtype)
+
+        while not self.has_converged():
+            t_cum = self.transformation()
+            result, n_corr = _registration_step(
+                self._filtered_src_dev,
+                self._target_dev,
+                self._src_valid,
+                self._tgt_valid,
+                jnp.asarray(matrix_to_quat(t_cum[:3, :3]), dtype=self.dtype),
+                jnp.asarray(t_cum[:3, 3], dtype=self.dtype),
+                q0,
+                t0,
+                k=p.max_neighbours,
+                radius=p.radius,
+                lm_config=self._lm_config,
+                target_tile=p.search_target_tile,
+            )
+            # Incremental transform of this iteration (iteration.hpp:59-67:
+            # quaternion normalized on extraction).
+            q = np.asarray(quat_normalize(result.q), dtype=np.float64)
+            t = np.asarray(result.t, dtype=np.float64)
+            delta = np.asarray(
+                se3_to_matrix(SE3(q=jnp.asarray(q), t=jnp.asarray(t))), dtype=np.float64
+            )
+            current = delta @ t_cum  # left-compose (cc:101-107)
+            self.transformation_history.append(current)
+
+            initial_cost = float(result.initial_cost)
+            final_cost = float(result.final_cost)
+            self.cost_drop = (initial_cost - final_cost) / initial_cost if initial_cost else 0.0
+
+            if self.ground_truth or p.summary:
+                moved_source = self.source_cloud @ current[:3, :3].T + current[:3, 3]
+            if self.ground_truth:
+                self.mse_ground_truth = calculate_mse(moved_source, self.ground_truth_cloud)
+                self.out << f"MSE w.r.t. ground truth: {self.mse_ground_truth}\n"
+            if p.summary:
+                self.mse_prev_it = calculate_mse(moved_source, self._prev_source)
+                self._prev_source = moved_source
+            rpy = np.degrees(matrix_euler_xyz(current[:3, :3]))
+            self.records.append(
+                IterationRecord(
+                    iteration=self.current_iteration,
+                    num_successful_steps=int(result.num_successful_steps),
+                    initial_cost=initial_cost,
+                    final_cost=final_cost,
+                    translation=current[:3, 3].copy(),
+                    rpy_deg=rpy,
+                    mse_prev_iter=self.mse_prev_it,
+                    mse_ground_truth=self.mse_ground_truth,
+                    num_correspondences=int(n_corr),
+                )
+            )
+            self.out << (
+                f"[iter {self.current_iteration}] correspondences={int(n_corr)} "
+                f"cost {initial_cost:.6g} -> {final_cost:.6g} "
+                f"(drop {self.cost_drop:.4f}), lm_iters={int(result.num_iterations)}\n"
+            )
+            self.current_iteration += 1
+
+        if self.ground_truth:
+            final = self.transformation()
+            aligned = self.source_cloud @ final[:3, :3].T + final[:3, 3]
+            self.mse_ground_truth = calculate_mse(aligned, self.ground_truth_cloud)
+            print(f"MSE w.r.t. ground truth: {self.mse_ground_truth}")
+        return self.transformation()
+
+    def has_converged(self) -> bool:
+        """Stopping rule, reproducing cc:138-158 (incl. counter semantics)."""
+        p = self.params
+        if self.current_iteration == p.n_iter:
+            self.out << (
+                f"Terminating because maximum number of iterations has been reached "
+                f"( {self.current_iteration} iter)\n"
+            )
+            return True
+        if self.cost_drop < p.cost_drop_thresh:
+            if self.num_unuseful_iter > p.n_cost_drop_it:
+                self.out << (
+                    f"Terminating because cost drop has been under "
+                    f"{p.cost_drop_thresh * 100} % for more than {p.n_cost_drop_it} iterations\n"
+                )
+                return True
+            self.num_unuseful_iter += 1
+        else:
+            self.num_unuseful_iter = 0
+        return False
+
+    def transformation(self) -> np.ndarray:
+        """Cumulative 4x4 transform (identity before the first iteration)."""
+        if self.transformation_history:
+            return self.transformation_history[-1].copy()
+        return np.eye(4)
+
+    def report(self) -> str:
+        """Per-iteration CSV report (header cc:44-46, rows cc:120-129)."""
+        lines = [REPORT_HEADER]
+        lines += [r.csv() for r in self.records]
+        return "\n".join(lines) + "\n"
+
+
+def register_pair(
+    source_cloud: np.ndarray,
+    target_cloud: np.ndarray,
+    params: Optional[RegistrationParams] = None,
+    ground_truth_cloud: Optional[np.ndarray] = None,
+):
+    """Functional one-shot: align source onto target, return (4x4, registration)."""
+    params = params or RegistrationParams()
+    reg = ProbabilisticRegistration(source_cloud, target_cloud, params, ground_truth_cloud)
+    final = reg.align()
+    return final, reg
