@@ -1,0 +1,139 @@
+"""Benchmark: bunny-scale scan-pair registration throughput.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Workload (BASELINE.json config #1 stand-in — the repo and reference ship no
+datasets): a 35k-point bunny-scale surface pair, t-distribution weights
+(dof=5), max_neighbours=20, a fixed 15 outer iterations (convergence check
+disabled so every run does identical work), full pipeline including host-side
+transform composition — i.e. end-to-end scan pairs per second.
+
+``vs_baseline`` compares against the single-machine CPU throughput recorded
+in baseline_cpu.json (measured with JAX_PLATFORMS=cpu on this image via
+``python bench.py --record-cpu-baseline``; the reference C++ binary cannot be
+built here — no PCL/Ceres — so the CPU run of this same algorithm is the
+measured stand-in, per BASELINE.md).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent
+BASELINE_FILE = REPO / "baseline_cpu.json"
+
+
+def build_pair(n: int, seed: int = 0):
+    from probabilistic_point_clouds_registration_tpu.io.synthetic import bunny_like
+
+    tgt = bunny_like(n, seed=seed)
+    theta = 0.08
+    rot = np.array(
+        [
+            [np.cos(theta), -np.sin(theta), 0.0],
+            [np.sin(theta), np.cos(theta), 0.0],
+            [0.0, 0.0, 1.0],
+        ]
+    )
+    src = tgt @ rot.T + np.array([0.06, -0.04, 0.03])
+    return src, tgt
+
+
+def run_once(src, tgt, n_iter: int):
+    from probabilistic_point_clouds_registration_tpu.core.params import RegistrationParams
+    from probabilistic_point_clouds_registration_tpu.models.registration import (
+        ProbabilisticRegistration,
+    )
+
+    params = RegistrationParams(
+        max_neighbours=20,
+        dof=5.0,
+        radius=0.3,
+        n_iter=n_iter,
+        cost_drop_thresh=-1.0,  # fixed work: only the n_iter stop fires
+        dtype="float32",
+        pad_multiple=1024,
+        max_inner_iterations=50,
+    )
+    reg = ProbabilisticRegistration(src, tgt, params)
+    t0 = time.perf_counter()
+    reg.align()
+    return time.perf_counter() - t0, reg
+
+
+def measure(n_points: int, n_iter: int, repeats: int):
+    src, tgt = build_pair(n_points)
+    run_once(src, tgt, n_iter)  # warm-up: compile
+    times = []
+    for _ in range(repeats):
+        dt, _ = run_once(src, tgt, n_iter)
+        times.append(dt)
+    return min(times)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--points", type=int, default=35_000)
+    ap.add_argument("--iters", type=int, default=15)
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument(
+        "--record-cpu-baseline",
+        action="store_true",
+        help="measure on CPU and write baseline_cpu.json",
+    )
+    args = ap.parse_args()
+
+    if args.record_cpu_baseline:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    if args.record_cpu_baseline:
+        jax.config.update("jax_platforms", "cpu")
+
+    pair_seconds = measure(args.points, args.iters, args.repeats)
+    pairs_per_s = 1.0 / pair_seconds
+
+    if args.record_cpu_baseline:
+        BASELINE_FILE.write_text(
+            json.dumps(
+                {
+                    "metric": "bunny35k pair registration throughput (CPU)",
+                    "pairs_per_s": pairs_per_s,
+                    "pair_seconds": pair_seconds,
+                    "points": args.points,
+                    "outer_iterations": args.iters,
+                    "backend": jax.default_backend(),
+                },
+                indent=2,
+            )
+            + "\n"
+        )
+        print(f"recorded CPU baseline: {pairs_per_s:.4f} pairs/s", file=sys.stderr)
+        return
+
+    vs_baseline = 1.0
+    if BASELINE_FILE.exists():
+        base = json.loads(BASELINE_FILE.read_text())
+        if base.get("pairs_per_s"):
+            vs_baseline = pairs_per_s / base["pairs_per_s"]
+
+    print(
+        json.dumps(
+            {
+                "metric": "bunny35k_pair_registration_throughput",
+                "value": round(pairs_per_s, 4),
+                "unit": "pairs/s",
+                "vs_baseline": round(vs_baseline, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -52,7 +52,14 @@ _MAX_CONSECUTIVE_NONMONOTONIC_STEPS = 5
 
 class LMConfig(NamedTuple):
     """Static solver configuration (mirrors the Ceres options the reference
-    sets at src/prob_point_cloud_registration.cc:88-99)."""
+    sets at src/prob_point_cloud_registration.cc:88-99).
+
+    ``axis_name``: when set, the solver runs SPMD inside ``shard_map`` with
+    source rows sharded over that mesh axis; the 7x7 normal equations, the
+    gradient, and the scalar cost are reduced with ``lax.psum`` over ICI so
+    every device steps the identical replicated (q, t) iterate. This is the
+    TPU-native replacement for Ceres's OpenMP-threaded residual evaluation
+    (src/prob_point_cloud_registration.cc:98)."""
 
     dof: float = 5.0
     dimension: int = 3
@@ -63,6 +70,7 @@ class LMConfig(NamedTuple):
     max_lm_diagonal: float = 1e32
     min_relative_decrease: float = 1e-3
     use_nonmonotonic_steps: bool = True
+    axis_name: str | None = None
 
 
 class LMState(NamedTuple):
@@ -98,12 +106,15 @@ def _residuals(q, t, source, targets):
     return targets - moved[:, None, :]
 
 
-def _weighted_cost(r, w, mask):
+def _weighted_cost(r, w, mask, axis_name=None):
     e2 = jnp.sum(r * r, axis=-1)
-    return 0.5 * jnp.sum(jnp.where(mask, w * e2, 0.0))
+    cost = 0.5 * jnp.sum(jnp.where(mask, w * e2, 0.0))
+    if axis_name is not None:
+        cost = jax.lax.psum(cost, axis_name)
+    return cost
 
 
-def _normal_equations(q, t, source, targets, w, mask):
+def _normal_equations(q, t, source, targets, w, mask, axis_name=None):
     """Return (H (7,7), g (7,), cost) for the weighted problem.
 
     H = sum w J^T J, g = sum w J^T r with J = [-A, -I3],
@@ -127,6 +138,11 @@ def _normal_equations(q, t, source, targets, w, mask):
     g_q = -jnp.einsum("nba,nb->a", A, m)
     g_t = -jnp.sum(m, axis=0)
     g = jnp.concatenate([g_q, g_t])
+    if axis_name is not None:
+        # Cross-device reduction of the normal equations over ICI: 7x7 + 7 + 1
+        # scalars per step — communication is negligible next to the O(N*K)
+        # local compute, the ideal data-parallel layout for this workload.
+        H, g, cost = jax.lax.psum((H, g, cost), axis_name)
     return H, g, cost
 
 
@@ -162,7 +178,7 @@ def em_lm_solve(
     # weight callback once at construction, before the first LM step).
     w0 = e_step(q0, t0)
     r0 = _residuals(q0, t0, source, targets)
-    initial_cost = _weighted_cost(r0, w0, mask)
+    initial_cost = _weighted_cost(r0, w0, mask, config.axis_name)
 
     init = LMState(
         q=q0.astype(dtype),
@@ -189,7 +205,9 @@ def em_lm_solve(
         # fires after every LM iteration; on rejected steps the iterate is
         # unchanged so recomputing is idempotent).
         w = e_step(s.q, s.t)
-        H, g, cost = _normal_equations(s.q, s.t, source, targets, w, mask)
+        H, g, cost = _normal_equations(
+            s.q, s.t, source, targets, w, mask, config.axis_name
+        )
 
         # Levenberg-Marquardt step: (H + diag(clamp(diag H)) / radius) d = -g.
         diag = jnp.clip(jnp.diagonal(H), config.min_lm_diagonal, config.max_lm_diagonal)
@@ -201,7 +219,7 @@ def em_lm_solve(
         q_new = s.q + delta[:4]
         t_new = s.t + delta[4:]
         r_new = _residuals(q_new, t_new, source, targets)
-        candidate_cost = _weighted_cost(r_new, w, mask)
+        candidate_cost = _weighted_cost(r_new, w, mask, config.axis_name)
 
         # Model cost change m(0) - m(delta) = -(g.d + 0.5 d^T H d).
         model_cost_change = -(g @ delta + 0.5 * delta @ (H @ delta))

@@ -31,6 +31,22 @@ from ..core.types import Correspondences, round_up
 _BIG = jnp.inf
 
 
+def _match_vma(x, *refs):
+    """Make ``x`` vary over every shard_map mesh axis any of ``refs`` vary on.
+
+    Inside ``shard_map`` a freshly-created constant is unvarying, so using it
+    as a scan carry whose body mixes in device-varying data trips the vma
+    check; ``lax.pvary`` promotes it. No-op outside shard_map.
+    """
+    try:
+        want = frozenset().union(*(jax.typeof(r).vma for r in refs))
+        have = jax.typeof(x).vma
+    except AttributeError:  # older JAX without vma tracking
+        return x
+    missing = want - have
+    return jax.lax.pcast(x, tuple(missing), to="varying") if missing else x
+
+
 def _pairwise_sq_dists(src: jnp.ndarray, tgt: jnp.ndarray) -> jnp.ndarray:
     """(S, T) squared distances via the matmul expansion (MXU-friendly)."""
     # preferred_element_type keeps f32 accumulation even if inputs are bf16.
@@ -80,8 +96,8 @@ def topk_neighbors(
     def search_block(src_blk):  # (S, 3) -> ((S, k), (S, k))
         s = src_blk.shape[0]
         init = (
-            jnp.full((s, k), _BIG, dtype),
-            jnp.full((s, k), m, dtype=jnp.int32),  # out-of-range sentinel
+            _match_vma(jnp.full((s, k), _BIG, dtype), src_blk, tgt),
+            _match_vma(jnp.full((s, k), m, dtype=jnp.int32), src_blk, tgt),
         )
 
         def step(carry, t_idx):

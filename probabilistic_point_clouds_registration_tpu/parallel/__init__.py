@@ -1,0 +1,29 @@
+"""Distributed (multi-device / multi-host) execution over JAX device meshes."""
+from .mesh import (
+    POINTS_AXIS,
+    TARGETS_AXIS,
+    make_mesh,
+    points_spec,
+    replicated_spec,
+    targets_spec,
+)
+from .distributed import (
+    ShardedStepResult,
+    make_sharded_registration_step,
+    pad_for_mesh,
+)
+from .search import local_topk_merge, make_target_sharded_search
+
+__all__ = [
+    "POINTS_AXIS",
+    "TARGETS_AXIS",
+    "make_mesh",
+    "points_spec",
+    "replicated_spec",
+    "targets_spec",
+    "ShardedStepResult",
+    "make_sharded_registration_step",
+    "pad_for_mesh",
+    "local_topk_merge",
+    "make_target_sharded_search",
+]
