@@ -1,0 +1,106 @@
+"""Sequence-odometry CLI: scan-to-scan registration over a directory of PCDs.
+
+No reference counterpart — the reference binary handles one pair per
+invocation (src/prob_point_cloud_registration_ex.cc), leaving sequence runs
+to external scripts. This driver covers BASELINE.json configs #3/#4
+(ETH ASL / KITTI sequential odometry) with durable per-pair checkpointing.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import sys
+from pathlib import Path
+
+import numpy as np
+
+from .core.params import RegistrationParams
+from .models.odometry import load_checkpoint, run_odometry
+from .utils.eval import ate_rmse
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="prob-point-clouds-odometry-tpu",
+        description="Sequential scan-to-scan probabilistic registration (TPU-native)",
+    )
+    p.add_argument("scan_dir", help="Directory of .pcd scans (sorted by name) or a glob")
+    p.add_argument("-o", "--output", default="trajectory.json",
+                   help="Output trajectory / checkpoint file (JSON)")
+    p.add_argument("-s", "--source_filter_size", type=float, default=0)
+    p.add_argument("-t", "--target_filter_size", type=float, default=0)
+    p.add_argument("-m", "--max_neighbours", type=int, default=20)
+    p.add_argument("-i", "--num_iter", type=int, default=1000)
+    p.add_argument("-d", "--dof", type=float, default=5)
+    p.add_argument("-r", "--radius", type=float, default=3)
+    p.add_argument("-c", "--cost_drop_treshold", type=float, default=0.01)
+    p.add_argument("-n", "--num_drop_iter", type=int, default=5)
+    p.add_argument("-u", "--use_gaussian", action="store_true")
+    p.add_argument("-v", "--verbose", action="store_true")
+    p.add_argument("--ground_truth", default=None,
+                   help="Ground-truth trajectory JSON ([[4x4], ...]) for ATE RMSE")
+    p.add_argument("--max_scans", type=int, default=None,
+                   help="Limit the number of scans (debug / benchmarking)")
+    p.add_argument("--no_resume", action="store_true",
+                   help="Ignore an existing checkpoint and start over")
+    p.add_argument("--dtype", default="float32", choices=["float32", "float64"])
+    p.add_argument("--backend", default=None,
+                   help="JAX platform override (e.g. cpu) for local runs")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    if args.backend:
+        import jax
+
+        jax.config.update("jax_platforms", args.backend)
+        if args.dtype == "float64":
+            jax.config.update("jax_enable_x64", True)
+
+    scan_dir = Path(args.scan_dir)
+    if scan_dir.is_dir():
+        scans = sorted(scan_dir.glob("*.pcd"))
+    else:
+        scans = sorted(Path(".").glob(args.scan_dir))
+    if args.max_scans:
+        scans = scans[: args.max_scans]
+    if len(scans) < 2:
+        print(f"Need at least 2 scans, found {len(scans)}")
+        return 1
+    print(f"Odometry over {len(scans)} scans ({len(scans) - 1} pairs)")
+
+    params = RegistrationParams(
+        max_neighbours=args.max_neighbours,
+        dof=math.inf if args.use_gaussian else args.dof,
+        radius=args.radius,
+        n_iter=args.num_iter,
+        cost_drop_thresh=args.cost_drop_treshold,
+        n_cost_drop_it=args.num_drop_iter,
+        verbose=args.verbose,
+        summary=True,
+        source_filter_size=args.source_filter_size,
+        target_filter_size=args.target_filter_size,
+        dtype=args.dtype,
+    )
+
+    ckpt = Path(args.output)
+    if args.no_resume and ckpt.exists():
+        ckpt.unlink()
+
+    result = run_odometry(scans, params, checkpoint_path=ckpt)
+    print(f"Trajectory written to {ckpt} ({len(result.poses)} poses)")
+
+    if args.ground_truth:
+        gt = json.loads(Path(args.ground_truth).read_text())
+        gt_poses = [np.asarray(m, dtype=np.float64) for m in gt]
+        n = min(len(gt_poses), len(result.poses))
+        rmse = ate_rmse(result.poses[:n], gt_poses[:n])
+        print(f"ATE RMSE vs ground truth over {n} poses: {rmse}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -56,6 +56,10 @@ class RegistrationParams:
     search_impl: str = "auto"
     # Tile size over the target axis in the streaming top-k search.
     search_target_tile: int = 2048
+    # When set, align() runs under jax.profiler.trace writing to this
+    # directory (TensorBoard-compatible; the reference's closest analogue is
+    # Ceres's per-solve FullReport timing, src/prob_point_cloud_registration.cc:108).
+    profile_dir: Optional[str] = None
 
     @property
     def is_gaussian(self) -> bool:

@@ -29,7 +29,16 @@ _TYPE_MAP = {
 
 
 def lzf_decompress(data: bytes, expected_size: int) -> bytes:
-    """Decompress an LZF-compressed block (the PCD binary_compressed codec)."""
+    """Decompress an LZF-compressed block (the PCD binary_compressed codec).
+
+    Dispatches to the native C++ codec (../native) when available — the
+    Python loop below is the always-works fallback and the parity oracle.
+    """
+    from .. import native
+
+    native_out = native.lzf_decompress(data, expected_size)
+    if native_out is not None:
+        return native_out
     out = bytearray()
     i = 0
     n = len(data)
@@ -58,11 +67,17 @@ def lzf_decompress(data: bytes, expected_size: int) -> bytes:
 
 
 def lzf_compress(data: bytes) -> bytes:
-    """Minimal valid LZF encoding (literal runs only; ~3% overhead).
+    """LZF-encode ``data`` (PCD binary_compressed bodies).
 
-    Valid for any LZF decoder including PCL's; used only when writing
-    binary_compressed, which this writer does on request.
+    Native C++ hash-chain encoder when available (real compression); the
+    Python fallback emits literal runs only (~3% overhead) which is still a
+    valid LZF stream for any decoder including PCL's.
     """
+    from .. import native
+
+    native_out = native.lzf_compress(data)
+    if native_out is not None:
+        return native_out
     out = bytearray()
     for i in range(0, len(data), 32):
         chunk = data[i : i + 32]

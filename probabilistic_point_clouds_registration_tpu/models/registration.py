@@ -179,6 +179,7 @@ class ProbabilisticRegistration:
 
         self.transformation_history: List[np.ndarray] = []
         self.records: List[IterationRecord] = []
+        self.iteration_times: List[float] = []  # wall seconds per outer iter
         self.current_iteration = 0
         self.cost_drop = 0.0
         self.num_unuseful_iter = 0
@@ -188,12 +189,27 @@ class ProbabilisticRegistration:
     # -- reference API ------------------------------------------------------
 
     def align(self) -> np.ndarray:
-        """Run the outer loop to convergence; returns the final 4x4 transform."""
+        """Run the outer loop to convergence; returns the final 4x4 transform.
+
+        Observability: per-outer-iteration wall times land in
+        ``self.iteration_times`` (device step + host bookkeeping); with
+        ``params.profile_dir`` set, the whole loop runs under
+        ``jax.profiler.trace`` for TensorBoard timelines.
+        """
+        if self.params.profile_dir:
+            with jax.profiler.trace(self.params.profile_dir):
+                return self._align_loop()
+        return self._align_loop()
+
+    def _align_loop(self) -> np.ndarray:
+        import time
+
         p = self.params
         q0 = jnp.asarray(p.initial_rotation, dtype=self.dtype)
         t0 = jnp.asarray(p.initial_translation, dtype=self.dtype)
 
         while not self.has_converged():
+            iter_start = time.perf_counter()
             t_cum = self.transformation()
             result, n_corr = _registration_step(
                 self._filtered_src_dev,
@@ -245,10 +261,12 @@ class ProbabilisticRegistration:
                     num_correspondences=int(n_corr),
                 )
             )
+            self.iteration_times.append(time.perf_counter() - iter_start)
             self.out << (
                 f"[iter {self.current_iteration}] correspondences={int(n_corr)} "
                 f"cost {initial_cost:.6g} -> {final_cost:.6g} "
-                f"(drop {self.cost_drop:.4f}), lm_iters={int(result.num_iterations)}\n"
+                f"(drop {self.cost_drop:.4f}), lm_iters={int(result.num_iterations)}, "
+                f"{self.iteration_times[-1] * 1e3:.1f} ms\n"
             )
             self.current_iteration += 1
 

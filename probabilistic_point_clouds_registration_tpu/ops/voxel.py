@@ -27,6 +27,12 @@ def voxel_downsample(points: np.ndarray, leaf_size: float) -> np.ndarray:
     if leaf_size <= 0 or points.shape[0] == 0:
         return points.copy()
 
+    from .. import native
+
+    native_out = native.voxel_downsample(points, leaf_size)
+    if native_out is not None:
+        return native_out
+
     ijk = np.floor(points / float(leaf_size)).astype(np.int64)
     ijk -= ijk.min(axis=0)
     dims = ijk.max(axis=0) + 1
