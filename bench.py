@@ -33,7 +33,9 @@ def build_pair(n: int, seed: int = 0):
     from probabilistic_point_clouds_registration_tpu.io.synthetic import bunny_like
 
     tgt = bunny_like(n, seed=seed)
-    theta = 0.08
+    # Misalignment sized to the search radius (real LiDAR operating point:
+    # radius a few x point spacing; initial offset within the search radius).
+    theta = 0.02
     rot = np.array(
         [
             [np.cos(theta), -np.sin(theta), 0.0],
@@ -41,7 +43,7 @@ def build_pair(n: int, seed: int = 0):
             [0.0, 0.0, 1.0],
         ]
     )
-    src = tgt @ rot.T + np.array([0.06, -0.04, 0.03])
+    src = tgt @ rot.T + np.array([0.02, -0.015, 0.01])
     return src, tgt
 
 
@@ -54,7 +56,10 @@ def run_once(src, tgt, n_iter: int):
     params = RegistrationParams(
         max_neighbours=20,
         dof=5.0,
-        radius=0.3,
+        # ~4x the mean point spacing of the 35k-point cloud (the reference's
+        # radius-3-on-meters-scale-clouds CLI default scaled to this fixture),
+        # giving ~50 in-radius candidates per point with the k=20 cap active.
+        radius=0.075,
         n_iter=n_iter,
         cost_drop_thresh=-1.0,  # fixed work: only the n_iter stop fires
         dtype="float32",

@@ -52,8 +52,12 @@ class RegistrationParams:
     dtype: str = "float32"
     # Pad source/target point counts to multiples of this for static shapes.
     pad_multiple: int = 256
-    # Neighbor-search engine: "auto" | "xla" | "pallas".
+    # Neighbor-search engine: "auto" (hash grid when profitable, else brute
+    # force) | "brute" (always the streaming tiled engine) | "grid".
     search_impl: str = "auto"
+    # Outer iterations fused into one device program (lax.scan) when the grid
+    # engine is active; the host syncs once per chunk. 1 disables fusion.
+    outer_chunk: int = 4
     # Tile size over the target axis in the streaming top-k search.
     search_target_tile: int = 2048
     # When set, align() runs under jax.profiler.trace writing to this

@@ -41,7 +41,15 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.params import RegistrationParams
-from ..core.se3 import SE3, matrix_euler_xyz, matrix_to_quat, quat_normalize, se3_to_matrix
+from ..core.se3 import (
+    SE3,
+    matrix_euler_xyz,
+    matrix_to_quat,
+    quat_multiply,
+    quat_normalize,
+    se3_to_matrix,
+    unit_quat_rotate,
+)
 from ..core.types import pad_cloud, valid_mask
 from ..ops.neighbors import radius_search
 from ..ops.voxel import voxel_downsample
@@ -71,7 +79,10 @@ def _registration_step(
     lm_config: LMConfig,
     target_tile: int,
 ):
-    """One fused outer iteration: move -> associate -> inner EM solve."""
+    """One fused outer iteration: move -> associate -> inner EM solve.
+
+    Brute-force association engine (streaming tiled top-k over all targets).
+    """
     from ..core.se3 import quat_rotate
 
     moved = quat_rotate(q_cum, filtered_source) + t_cum
@@ -88,6 +99,186 @@ def _registration_step(
     result = em_lm_solve(moved, gathered, corr.mask, q0, t0, lm_config)
     n_corr = jnp.sum(corr.mask)
     return result, n_corr
+
+
+@partial(jax.jit, static_argnames=("k", "radius", "lm_config", "target_tile"))
+def _registration_step_pallas(
+    filtered_source,
+    target,
+    source_valid,
+    target_valid,
+    q_cum,
+    t_cum,
+    q0,
+    t0,
+    *,
+    k: int,
+    radius: float,
+    lm_config: LMConfig,
+    target_tile: int,
+):
+    """One fused outer iteration using the hand-tiled Pallas search kernel
+    (ops/neighbors_pallas.py) instead of the XLA top_k engine. TPU only."""
+    from ..core.se3 import quat_rotate
+    from ..ops.neighbors_pallas import pallas_radius_search
+
+    moved = quat_rotate(q_cum, filtered_source) + t_cum
+    corr = pallas_radius_search(
+        moved,
+        target,
+        k=k,
+        radius=radius,
+        source_valid=source_valid,
+        target_valid=target_valid,
+        target_tile=target_tile,
+    )
+    gathered = target[corr.indices]
+    result = em_lm_solve(moved, gathered, corr.mask, q0, t0, lm_config)
+    n_corr = jnp.sum(corr.mask)
+    return result, n_corr
+
+
+@partial(
+    jax.jit,
+    static_argnames=("k", "radius", "lm_config", "capacity", "num_valid"),
+)
+def _registration_step_grid(
+    filtered_source,
+    target,
+    source_valid,
+    grid_points,
+    grid_perm,
+    cell_ids,
+    bucket_start,
+    bucket_count,
+    origin,
+    dims,
+    lut,
+    q_cum,
+    t_cum,
+    q0,
+    t0,
+    *,
+    k: int,
+    radius: float,
+    lm_config: LMConfig,
+    capacity: int,
+    num_valid: int,
+):
+    """One fused outer iteration against the prebuilt target hash grid.
+
+    The grid is built once per registration (the target never moves — unlike
+    the reference, which rebuilds its kd-tree every outer iteration,
+    cc:66-67); per-iteration search cost is O(N * local density) not O(N*M).
+    """
+    from ..core.se3 import quat_rotate
+    from ..ops.grid import grid_radius_search, pick_source_tile
+
+    moved = quat_rotate(q_cum, filtered_source) + t_cum
+    corr = grid_radius_search(
+        moved,
+        grid_points,
+        grid_perm,
+        cell_ids,
+        bucket_start,
+        bucket_count,
+        origin,
+        dims,
+        lut,
+        k=k,
+        radius=radius,
+        capacity=capacity,
+        num_valid=num_valid,
+        source_valid=source_valid,
+        source_tile=pick_source_tile(capacity),
+    )
+    gathered = target[corr.indices]
+    result = em_lm_solve(moved, gathered, corr.mask, q0, t0, lm_config)
+    n_corr = jnp.sum(corr.mask)
+    return result, n_corr
+
+
+@partial(
+    jax.jit,
+    static_argnames=("k", "radius", "lm_config", "capacity", "num_valid", "chunk"),
+)
+def _registration_scan_grid(
+    filtered_source,
+    target,
+    source_valid,
+    grid_points,
+    grid_perm,
+    cell_ids,
+    bucket_start,
+    bucket_count,
+    origin,
+    dims,
+    lut,
+    q_cum,
+    t_cum,
+    q0,
+    t0,
+    *,
+    k: int,
+    radius: float,
+    lm_config: LMConfig,
+    capacity: int,
+    num_valid: int,
+    chunk: int,
+):
+    """``chunk`` fused outer iterations in ONE device program (lax.scan).
+
+    The cumulative transform is carried on device between iterations so the
+    host syncs once per chunk instead of once per outer iteration — on a
+    tunneled/remote chip each host roundtrip costs ~10-30 ms, which at the
+    reference's convergence profile (tens of outer iterations,
+    src/prob_point_cloud_registration.cc:63-136) would otherwise dominate.
+    Per-iteration deltas stream out of the scan so the host can rebuild the
+    exact per-iteration history/CSV and apply the convergence rule
+    retroactively (results past the stopping point are discarded — wasted
+    FLOPs, zero semantic drift).
+    """
+    from ..core.se3 import quat_rotate
+    from ..ops.grid import grid_radius_search, pick_source_tile
+
+    def step(carry, _):
+        qc, tc = carry
+        moved = quat_rotate(qc, filtered_source) + tc
+        corr = grid_radius_search(
+            moved,
+            grid_points,
+            grid_perm,
+            cell_ids,
+            bucket_start,
+            bucket_count,
+            origin,
+            dims,
+            lut,
+            k=k,
+            radius=radius,
+            capacity=capacity,
+            num_valid=num_valid,
+            source_valid=source_valid,
+            source_tile=pick_source_tile(capacity),
+        )
+        gathered = target[corr.indices]
+        res = em_lm_solve(moved, gathered, corr.mask, q0, t0, lm_config)
+        qn = quat_normalize(res.q)
+        q_new = quat_multiply(qn, qc)  # left-compose: delta ∘ cumulative
+        t_new = unit_quat_rotate(qn, tc) + res.t
+        out = (
+            res.q,
+            res.t,
+            res.initial_cost,
+            res.final_cost,
+            res.num_iterations,
+            res.num_successful_steps,
+            jnp.sum(corr.mask),
+        )
+        return (q_new, t_new), out
+
+    _, outs = jax.lax.scan(step, (q_cum, t_cum), None, length=chunk)
+    return outs
 
 
 @dataclass
@@ -165,6 +356,32 @@ class ProbabilisticRegistration:
         self._src_valid = valid_mask(fs.shape[0], self._n_src)
         self._tgt_valid = valid_mask(tg.shape[0], self._n_tgt)
 
+        # Build the target hash grid once (search_impl "auto"/"grid"); None
+        # keeps the brute-force streaming engine.
+        self._grid = None
+        if params.search_impl in ("auto", "grid"):
+            from ..ops.grid import build_grid
+
+            grid = build_grid(tg, params.radius, num_valid=self._n_tgt)
+            if (
+                grid is not None
+                and params.search_impl == "auto"
+                and 27 * grid.capacity * 8 > self._n_tgt
+            ):
+                # Candidate set too close to M: the streaming brute-force
+                # engine's MXU distance tiles beat the grid's random gathers
+                # at this density (measured ~12x per-candidate cost ratio).
+                grid = None
+            if grid is not None:
+                self._grid = grid._replace(
+                    points=jnp.asarray(grid.points, dtype=self.dtype),
+                    origin=jnp.asarray(grid.origin, dtype=self.dtype),
+                )
+                self.out << (
+                    f"Target grid: {grid.cell_ids.shape[0]} occupied cells, "
+                    f"capacity {grid.capacity}\n"
+                )
+
         self._lm_config = LMConfig(
             dof=params.dof,
             dimension=3,
@@ -201,74 +418,173 @@ class ProbabilisticRegistration:
                 return self._align_loop()
         return self._align_loop()
 
+    def _process_iteration(
+        self, q_raw, t_raw, initial_cost, final_cost, num_iterations,
+        num_successful, n_corr, iter_time,
+    ) -> None:
+        """Host bookkeeping for one completed outer iteration: compose the
+        incremental transform (f64), cost drop, MSE metrics, CSV record."""
+        p = self.params
+        t_cum = self.transformation()
+        # Incremental transform of this iteration (iteration.hpp:59-67:
+        # quaternion normalized on extraction).
+        q = np.asarray(q_raw, dtype=np.float64)
+        q = q / np.linalg.norm(q)
+        t = np.asarray(t_raw, dtype=np.float64)
+        delta = np.asarray(
+            se3_to_matrix(SE3(q=jnp.asarray(q), t=jnp.asarray(t))), dtype=np.float64
+        )
+        current = delta @ t_cum  # left-compose (cc:101-107)
+        self.transformation_history.append(current)
+
+        initial_cost = float(initial_cost)
+        final_cost = float(final_cost)
+        self.cost_drop = (initial_cost - final_cost) / initial_cost if initial_cost else 0.0
+
+        if self.ground_truth or p.summary:
+            moved_source = self.source_cloud @ current[:3, :3].T + current[:3, 3]
+        if self.ground_truth:
+            self.mse_ground_truth = calculate_mse(moved_source, self.ground_truth_cloud)
+            self.out << f"MSE w.r.t. ground truth: {self.mse_ground_truth}\n"
+        if p.summary:
+            self.mse_prev_it = calculate_mse(moved_source, self._prev_source)
+            self._prev_source = moved_source
+        rpy = np.degrees(matrix_euler_xyz(current[:3, :3]))
+        self.records.append(
+            IterationRecord(
+                iteration=self.current_iteration,
+                num_successful_steps=int(num_successful),
+                initial_cost=initial_cost,
+                final_cost=final_cost,
+                translation=current[:3, 3].copy(),
+                rpy_deg=rpy,
+                mse_prev_iter=self.mse_prev_it,
+                mse_ground_truth=self.mse_ground_truth,
+                num_correspondences=int(n_corr),
+            )
+        )
+        self.iteration_times.append(iter_time)
+        self.out << (
+            f"[iter {self.current_iteration}] correspondences={int(n_corr)} "
+            f"cost {initial_cost:.6g} -> {final_cost:.6g} "
+            f"(drop {self.cost_drop:.4f}), lm_iters={int(num_iterations)}, "
+            f"{iter_time * 1e3:.1f} ms\n"
+        )
+        self.current_iteration += 1
+
     def _align_loop(self) -> np.ndarray:
         import time
 
         p = self.params
         q0 = jnp.asarray(p.initial_rotation, dtype=self.dtype)
         t0 = jnp.asarray(p.initial_translation, dtype=self.dtype)
+        chunk = max(1, int(p.outer_chunk)) if self._grid is not None else 1
 
-        while not self.has_converged():
+        converged = False
+        while not converged:
+            if self.has_converged():
+                break
             iter_start = time.perf_counter()
             t_cum = self.transformation()
-            result, n_corr = _registration_step(
-                self._filtered_src_dev,
-                self._target_dev,
-                self._src_valid,
-                self._tgt_valid,
-                jnp.asarray(matrix_to_quat(t_cum[:3, :3]), dtype=self.dtype),
-                jnp.asarray(t_cum[:3, 3], dtype=self.dtype),
-                q0,
-                t0,
-                k=p.max_neighbours,
-                radius=p.radius,
-                lm_config=self._lm_config,
-                target_tile=p.search_target_tile,
-            )
-            # Incremental transform of this iteration (iteration.hpp:59-67:
-            # quaternion normalized on extraction).
-            q = np.asarray(quat_normalize(result.q), dtype=np.float64)
-            t = np.asarray(result.t, dtype=np.float64)
-            delta = np.asarray(
-                se3_to_matrix(SE3(q=jnp.asarray(q), t=jnp.asarray(t))), dtype=np.float64
-            )
-            current = delta @ t_cum  # left-compose (cc:101-107)
-            self.transformation_history.append(current)
-
-            initial_cost = float(result.initial_cost)
-            final_cost = float(result.final_cost)
-            self.cost_drop = (initial_cost - final_cost) / initial_cost if initial_cost else 0.0
-
-            if self.ground_truth or p.summary:
-                moved_source = self.source_cloud @ current[:3, :3].T + current[:3, 3]
-            if self.ground_truth:
-                self.mse_ground_truth = calculate_mse(moved_source, self.ground_truth_cloud)
-                self.out << f"MSE w.r.t. ground truth: {self.mse_ground_truth}\n"
-            if p.summary:
-                self.mse_prev_it = calculate_mse(moved_source, self._prev_source)
-                self._prev_source = moved_source
-            rpy = np.degrees(matrix_euler_xyz(current[:3, :3]))
-            self.records.append(
-                IterationRecord(
-                    iteration=self.current_iteration,
-                    num_successful_steps=int(result.num_successful_steps),
-                    initial_cost=initial_cost,
-                    final_cost=final_cost,
-                    translation=current[:3, 3].copy(),
-                    rpy_deg=rpy,
-                    mse_prev_iter=self.mse_prev_it,
-                    mse_ground_truth=self.mse_ground_truth,
-                    num_correspondences=int(n_corr),
+            q_cum = jnp.asarray(matrix_to_quat(t_cum[:3, :3]), dtype=self.dtype)
+            t_cum_dev = jnp.asarray(t_cum[:3, 3], dtype=self.dtype)
+            if self._grid is not None and chunk > 1:
+                g = self._grid
+                outs = _registration_scan_grid(
+                    self._filtered_src_dev,
+                    self._target_dev,
+                    self._src_valid,
+                    g.points,
+                    g.perm,
+                    g.cell_ids,
+                    g.bucket_start,
+                    g.bucket_count,
+                    g.origin,
+                    g.dims,
+                    g.lut,
+                    q_cum,
+                    t_cum_dev,
+                    q0,
+                    t0,
+                    k=p.max_neighbours,
+                    radius=p.radius,
+                    lm_config=self._lm_config,
+                    capacity=g.capacity,
+                    num_valid=g.num_valid,
+                    chunk=chunk,
                 )
+                qs, ts, ics, fcs, nits, nsucc, ncorr = jax.device_get(outs)
+                per_iter = (time.perf_counter() - iter_start) / chunk
+                # First row is always consumed (convergence was checked at the
+                # chunk boundary); later rows re-check exactly like the
+                # single-step loop (cc:65,138-158) and discard the overshoot.
+                self._process_iteration(
+                    qs[0], ts[0], ics[0], fcs[0], nits[0], nsucc[0], ncorr[0], per_iter
+                )
+                for j in range(1, chunk):
+                    if self.has_converged():
+                        converged = True
+                        break
+                    self._process_iteration(
+                        qs[j], ts[j], ics[j], fcs[j], nits[j], nsucc[j], ncorr[j], per_iter
+                    )
+                continue
+            if self._grid is not None:
+                g = self._grid
+                result, n_corr = _registration_step_grid(
+                    self._filtered_src_dev,
+                    self._target_dev,
+                    self._src_valid,
+                    g.points,
+                    g.perm,
+                    g.cell_ids,
+                    g.bucket_start,
+                    g.bucket_count,
+                    g.origin,
+                    g.dims,
+                    g.lut,
+                    q_cum,
+                    t_cum_dev,
+                    q0,
+                    t0,
+                    k=p.max_neighbours,
+                    radius=p.radius,
+                    lm_config=self._lm_config,
+                    capacity=g.capacity,
+                    num_valid=g.num_valid,
+                )
+            else:
+                use_pallas = (
+                    p.search_impl == "pallas"
+                    and jax.default_backend() == "tpu"
+                )
+                step_fn = (
+                    _registration_step_pallas if use_pallas else _registration_step
+                )
+                result, n_corr = step_fn(
+                    self._filtered_src_dev,
+                    self._target_dev,
+                    self._src_valid,
+                    self._tgt_valid,
+                    q_cum,
+                    t_cum_dev,
+                    q0,
+                    t0,
+                    k=p.max_neighbours,
+                    radius=p.radius,
+                    lm_config=self._lm_config,
+                    target_tile=p.search_target_tile,
+                )
+            self._process_iteration(
+                result.q,
+                result.t,
+                result.initial_cost,
+                result.final_cost,
+                result.num_iterations,
+                result.num_successful_steps,
+                n_corr,
+                time.perf_counter() - iter_start,
             )
-            self.iteration_times.append(time.perf_counter() - iter_start)
-            self.out << (
-                f"[iter {self.current_iteration}] correspondences={int(n_corr)} "
-                f"cost {initial_cost:.6g} -> {final_cost:.6g} "
-                f"(drop {self.cost_drop:.4f}), lm_iters={int(result.num_iterations)}, "
-                f"{self.iteration_times[-1] * 1e3:.1f} ms\n"
-            )
-            self.current_iteration += 1
 
         if self.ground_truth:
             final = self.transformation()

@@ -1,0 +1,190 @@
+"""Hand-tiled Pallas TPU kernel for the top-K neighbor search.
+
+The XLA engine in ops/neighbors.py expresses the streaming K-selection as
+``lax.scan`` + ``lax.top_k``; XLA's TopK lowering is a generic sort-based
+routine that dominates the search wall-time. This kernel replaces it with a
+VMEM-resident selection tuned to the problem's actual shape:
+
+  * the whole (M, 3) target cloud fits VMEM (35k pts = 430 KB; tiling
+    constraints pad the coordinate axis to the lane layout);
+  * per (S x T) distance tile, the cross term rides the MXU via
+    ``jnp.dot(src, tgt_T)`` with f32 accumulation;
+  * selection is K rounds of row-min extraction fused with a running-best
+    replace — pure VPU ops on VMEM, no sort network, no HBM traffic;
+  * a per-tile scalar early-out (`@pl.when`) skips the K rounds whenever the
+    tile's global min can't beat any row's current k-th best — after the
+    best lists warm up this prunes most tiles.
+
+Selection semantics match ops.neighbors.topk_neighbors exactly: top-k by the
+f32 matmul-expansion distance over valid targets (no radius bound in the
+selection), then the caller recomputes exact gathered distances and applies
+the radius mask — bit-identical to the XLA engine's pipeline, which is the
+FLANN-equivalent capped radius search of src/prob_point_cloud_registration.cc:72-81.
+Parity is tested in tests/test_pallas.py (interpret mode on CPU, compiled on
+TPU).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.types import Correspondences, round_up
+
+_BIG = float("inf")  # plain Python float: jnp arrays captured by a pallas
+# kernel body would be rejected as "captured constants"
+
+
+def _kernel(src_ref, tgt_t_ref, tvalid_ref, idx_out, d2_out, best_d, best_i,
+            *, k, target_tile, m_total):
+    """One program: top-K for a source block against the full target.
+
+    src_ref: (S, 128) source block; columns 0..2 = x,y,z, rest zero-pad.
+    tgt_t_ref: (8, M) transposed target, rows 0..2 = x,y,z (sublane pad).
+    tvalid_ref: (8, M) f32 validity broadcast (1.0 valid / 0.0 pad).
+    idx_out/d2_out: (S, K_pad) outputs.
+    best_d/best_i: (S, K_pad) VMEM scratch. Slots k..K_pad are parked at
+      -inf so the victim (row max) is always a real slot.
+    """
+    s = src_ref.shape[0]
+    k_pad = idx_out.shape[1]
+    num_tiles = m_total // target_tile
+
+    src = src_ref[:, :3]  # (S, 3)
+    s2 = jnp.sum(src * src, axis=1, keepdims=True)  # (S, 1)
+
+    slot_iota = lax.broadcasted_iota(jnp.int32, (s, k_pad), 1)
+    best_d[:, :] = jnp.where(slot_iota < k, _BIG, -_BIG).astype(jnp.float32)
+    best_i[:, :] = jnp.full((s, k_pad), 2**30, jnp.int32)
+
+    def tile_step(j, _):
+        start = j * target_tile
+        tgt_t = tgt_t_ref[:3, pl.ds(start, target_tile)]  # (3, T)
+        tval = tvalid_ref[0, pl.ds(start, target_tile)]  # (T,)
+        cross = jnp.dot(src, tgt_t, preferred_element_type=jnp.float32)
+        t2 = jnp.sum(tgt_t * tgt_t, axis=0)[None, :]  # (1, T)
+        d2 = jnp.maximum(s2 + t2 - 2.0 * cross, 0.0)
+        d2 = jnp.where(tval[None, :] > 0.5, d2, _BIG)
+
+        # Early-out: can this tile improve ANY row's current k-th best?
+        threshold = jnp.max(best_d[:, :])  # pads are -inf, never the max
+        tile_min = jnp.min(d2)
+
+        @pl.when(tile_min < threshold)
+        def _():
+            db = best_d[:, :]
+            ib = best_i[:, :]
+            dt = d2
+            col = lax.broadcasted_iota(jnp.int32, (s, target_tile), 1)
+            for _round in range(k):
+                # Candidate: per-row min of the remaining tile.
+                row_min = jnp.min(dt, axis=1, keepdims=True)  # (S, 1)
+                amin = jnp.min(
+                    jnp.where(dt == row_min, col, jnp.int32(2**30)),
+                    axis=1, keepdims=True,
+                )  # first index attaining the min
+                # Victim: per-row worst real slot of the current best list.
+                row_max = jnp.max(db, axis=1, keepdims=True)
+                vslot = jnp.min(
+                    jnp.where(db == row_max, slot_iota, jnp.int32(2**30)),
+                    axis=1, keepdims=True,
+                )
+                improve = row_min < row_max  # (S, 1)
+                at_victim = slot_iota == vslot
+                db = jnp.where(improve & at_victim, row_min, db)
+                ib = jnp.where(improve & at_victim, start + amin, ib)
+                # Consume the extracted element.
+                dt = jnp.where(improve & (col == amin), _BIG, dt)
+            best_d[:, :] = db
+            best_i[:, :] = ib
+
+        return 0
+
+    lax.fori_loop(0, num_tiles, tile_step, 0)
+    d2_out[:, :] = best_d[:, :]
+    idx_out[:, :] = best_i[:, :]
+
+
+@partial(
+    jax.jit,
+    static_argnames=("k", "radius", "source_tile", "target_tile", "interpret"),
+)
+def pallas_radius_search(
+    source: jnp.ndarray,
+    target: jnp.ndarray,
+    *,
+    k: int,
+    radius: float,
+    source_valid: jnp.ndarray,
+    target_valid: jnp.ndarray,
+    source_tile: int = 1024,
+    target_tile: int = 512,
+    interpret: bool = False,
+) -> Correspondences:
+    """Radius-capped KNN via the Pallas kernel (contract of radius_search)."""
+    n = source.shape[0]
+    m = target.shape[0]
+    k_pad = round_up(k, 128)  # lane-layout padding for the best lists
+
+    n_pad = round_up(n, source_tile)
+    m_pad = round_up(m, target_tile)
+    src = jnp.pad(source.astype(jnp.float32), ((0, n_pad - n), (0, 125)))
+    # Transposed target with sublane padding: rows 0..2 = x,y,z.
+    tgt_t = jnp.pad(
+        target.astype(jnp.float32).T, ((0, 5), (0, m_pad - m))
+    )  # (8, m_pad)
+    tval = jnp.pad(target_valid.astype(jnp.float32), (0, m_pad - m))
+    tval = jnp.broadcast_to(tval[None, :], (8, m_pad))
+
+    grid = (n_pad // source_tile,)
+    idx, _ = pl.pallas_call(
+        partial(_kernel, k=k, target_tile=target_tile, m_total=m_pad),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (source_tile, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((8, m_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, m_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (source_tile, k_pad), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (source_tile, k_pad), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, k_pad), jnp.int32),
+            jax.ShapeDtypeStruct((n_pad, k_pad), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((source_tile, k_pad), jnp.float32),
+            pltpu.VMEM((source_tile, k_pad), jnp.int32),
+        ],
+        interpret=interpret,
+    )(src, tgt_t, tval)
+
+    idx = idx[:n, :k]
+    found = (idx < m) & source_valid.astype(bool)[:, None]
+    idx = jnp.where(found, idx, 0)
+    # Exact gathered distances + radius mask, identical to the XLA engine
+    # (ops/neighbors.py topk_neighbors -> radius_search post-processing).
+    diff = source[:, None, :] - target[idx]
+    d2 = jnp.sum(diff * diff, axis=-1).astype(jnp.float32)
+    in_radius = found & (d2 <= jnp.float32(radius) ** 2)
+    # Sort each row ascending for FLANN-style nearest-first ordering.
+    order = jnp.argsort(jnp.where(in_radius, d2, _BIG), axis=1)
+    idx = jnp.take_along_axis(idx, order, axis=1)
+    d2 = jnp.take_along_axis(d2, order, axis=1)
+    in_radius = jnp.take_along_axis(in_radius, order, axis=1)
+    return Correspondences(
+        indices=idx.astype(jnp.int32),
+        sq_dists=jnp.where(in_radius, d2, 0.0),
+        mask=in_radius,
+    )
