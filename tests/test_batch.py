@@ -1,0 +1,76 @@
+"""Batched scan-pair registration: parity with sequential odometry + sharding."""
+import numpy as np
+import pytest
+
+from probabilistic_point_clouds_registration_tpu.core.params import RegistrationParams
+from probabilistic_point_clouds_registration_tpu.io.synthetic import wave_grid
+from probabilistic_point_clouds_registration_tpu.models.em_lm import LMConfig
+from probabilistic_point_clouds_registration_tpu.models.odometry import run_odometry
+from probabilistic_point_clouds_registration_tpu.parallel import make_mesh
+from probabilistic_point_clouds_registration_tpu.parallel.batch import (
+    run_odometry_batched,
+)
+
+
+def _sequence(n_scans=5):
+    world = wave_grid()
+    th = 0.04
+    rot = np.array(
+        [[np.cos(th), -np.sin(th), 0], [np.sin(th), np.cos(th), 0], [0, 0, 1.0]]
+    )
+    delta = np.eye(4)
+    delta[:3, :3] = rot
+    delta[:3, 3] = [0.12, -0.04, 0.02]
+    scans, pose = [], np.eye(4)
+    poses = []
+    for _ in range(n_scans):
+        inv = np.linalg.inv(pose)
+        scans.append(world @ inv[:3, :3].T + inv[:3, 3])
+        poses.append(pose.copy())
+        pose = pose @ delta
+    return scans, poses
+
+
+def _ate(a, b):
+    ta = np.stack([p[:3, 3] for p in a])
+    tb = np.stack([p[:3, 3] for p in b])
+    return float(np.sqrt(np.mean(np.sum((ta - tb) ** 2, axis=1))))
+
+
+def test_batched_matches_sequential():
+    scans, gt = _sequence(4)
+    cfg = LMConfig(dof=5.0, max_iterations=40)
+    poses_b, result = run_odometry_batched(
+        scans, k=10, radius=1.0, lm_config=cfg, n_outer=10,
+        pad_multiple=128, dtype="float64",
+    )
+    assert result.initial_costs.shape == (3, 10)
+    assert _ate(poses_b, gt) < 0.03
+
+    seq = run_odometry(
+        scans,
+        RegistrationParams(max_neighbours=10, radius=1.0, n_iter=10,
+                           cost_drop_thresh=-1.0, dtype="float64"),
+    )
+    # Same relative transforms to solver precision.
+    for a, b in zip(poses_b, seq.poses):
+        np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_batched_sharded_over_mesh():
+    scans, gt = _sequence(5)  # 4 pairs -> padded to 8 across the mesh
+    mesh = make_mesh(n_points_shards=8, n_target_shards=1)
+    cfg = LMConfig(dof=5.0, max_iterations=40)
+    poses, result = run_odometry_batched(
+        scans, k=10, radius=1.0, lm_config=cfg, n_outer=10,
+        pad_multiple=128, mesh=mesh, dtype="float64",
+    )
+    assert len(poses) == 5
+    assert _ate(poses, gt) < 0.03
+    # Unsharded reference.
+    poses_ref, _ = run_odometry_batched(
+        scans, k=10, radius=1.0, lm_config=cfg, n_outer=10,
+        pad_multiple=128, dtype="float64",
+    )
+    for a, b in zip(poses, poses_ref):
+        np.testing.assert_allclose(a, b, atol=1e-9)

@@ -117,3 +117,23 @@ def test_target_not_mutated():
     reg = ProbabilisticRegistration(source, target, params)
     reg.align()
     np.testing.assert_array_equal(target, target_copy)
+
+
+def test_empty_association_stays_identity():
+    """Radius too small for any neighbor: solver must remain at identity and
+    terminate cleanly, never NaN (verify-recipe probe)."""
+    import numpy as np
+
+    from probabilistic_point_clouds_registration_tpu import (
+        ProbabilisticRegistration,
+        RegistrationParams,
+    )
+
+    src = np.random.default_rng(0).random((200, 3))
+    tgt = src + 100.0  # disjoint
+    reg = ProbabilisticRegistration(
+        src, tgt, RegistrationParams(radius=0.1, n_iter=3)
+    )
+    t = reg.align()
+    np.testing.assert_array_equal(t, np.eye(4))
+    assert all(np.isfinite(r.final_cost) for r in reg.records)
