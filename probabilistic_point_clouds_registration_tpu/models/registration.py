@@ -140,17 +140,15 @@ def _registration_step_pallas(
 
 @partial(
     jax.jit,
-    static_argnames=("k", "radius", "lm_config", "capacity", "num_valid"),
+    static_argnames=("k", "radius", "lm_config", "capacity"),
 )
 def _registration_step_grid(
     filtered_source,
     target,
     source_valid,
-    grid_points,
-    grid_perm,
+    bucket_pts,
+    bucket_idx,
     cell_ids,
-    bucket_start,
-    bucket_count,
     origin,
     dims,
     lut,
@@ -163,7 +161,6 @@ def _registration_step_grid(
     radius: float,
     lm_config: LMConfig,
     capacity: int,
-    num_valid: int,
 ):
     """One fused outer iteration against the prebuilt target hash grid.
 
@@ -177,18 +174,15 @@ def _registration_step_grid(
     moved = quat_rotate(q_cum, filtered_source) + t_cum
     corr = grid_radius_search(
         moved,
-        grid_points,
-        grid_perm,
+        bucket_pts,
+        bucket_idx,
         cell_ids,
-        bucket_start,
-        bucket_count,
         origin,
         dims,
         lut,
         k=k,
         radius=radius,
         capacity=capacity,
-        num_valid=num_valid,
         source_valid=source_valid,
         source_tile=pick_source_tile(capacity),
     )
@@ -200,17 +194,15 @@ def _registration_step_grid(
 
 @partial(
     jax.jit,
-    static_argnames=("k", "radius", "lm_config", "capacity", "num_valid", "chunk"),
+    static_argnames=("k", "radius", "lm_config", "capacity", "chunk"),
 )
 def _registration_scan_grid(
     filtered_source,
     target,
     source_valid,
-    grid_points,
-    grid_perm,
+    bucket_pts,
+    bucket_idx,
     cell_ids,
-    bucket_start,
-    bucket_count,
     origin,
     dims,
     lut,
@@ -223,7 +215,6 @@ def _registration_scan_grid(
     radius: float,
     lm_config: LMConfig,
     capacity: int,
-    num_valid: int,
     chunk: int,
 ):
     """``chunk`` fused outer iterations in ONE device program (lax.scan).
@@ -246,18 +237,15 @@ def _registration_scan_grid(
         moved = quat_rotate(qc, filtered_source) + tc
         corr = grid_radius_search(
             moved,
-            grid_points,
-            grid_perm,
+            bucket_pts,
+            bucket_idx,
             cell_ids,
-            bucket_start,
-            bucket_count,
             origin,
             dims,
             lut,
             k=k,
             radius=radius,
             capacity=capacity,
-            num_valid=num_valid,
             source_valid=source_valid,
             source_tile=pick_source_tile(capacity),
         )
@@ -374,7 +362,7 @@ class ProbabilisticRegistration:
                 grid = None
             if grid is not None:
                 self._grid = grid._replace(
-                    points=jnp.asarray(grid.points, dtype=self.dtype),
+                    bucket_pts=jnp.asarray(grid.bucket_pts, dtype=self.dtype),
                     origin=jnp.asarray(grid.origin, dtype=self.dtype),
                 )
                 self.out << (
@@ -494,11 +482,9 @@ class ProbabilisticRegistration:
                     self._filtered_src_dev,
                     self._target_dev,
                     self._src_valid,
-                    g.points,
-                    g.perm,
+                    g.bucket_pts,
+                    g.bucket_idx,
                     g.cell_ids,
-                    g.bucket_start,
-                    g.bucket_count,
                     g.origin,
                     g.dims,
                     g.lut,
@@ -510,7 +496,6 @@ class ProbabilisticRegistration:
                     radius=p.radius,
                     lm_config=self._lm_config,
                     capacity=g.capacity,
-                    num_valid=g.num_valid,
                     chunk=chunk,
                 )
                 qs, ts, ics, fcs, nits, nsucc, ncorr = jax.device_get(outs)
@@ -535,11 +520,9 @@ class ProbabilisticRegistration:
                     self._filtered_src_dev,
                     self._target_dev,
                     self._src_valid,
-                    g.points,
-                    g.perm,
+                    g.bucket_pts,
+                    g.bucket_idx,
                     g.cell_ids,
-                    g.bucket_start,
-                    g.bucket_count,
                     g.origin,
                     g.dims,
                     g.lut,
@@ -551,7 +534,6 @@ class ProbabilisticRegistration:
                     radius=p.radius,
                     lm_config=self._lm_config,
                     capacity=g.capacity,
-                    num_valid=g.num_valid,
                 )
             else:
                 use_pallas = (

@@ -9,21 +9,23 @@ iteration then queries the static grid entirely on device:
 
   1. each (moved) source point maps to its cell; its neighbors-in-radius all
      lie in the 3x3x3 cell neighborhood (cell edge = radius),
-  2. the 27 neighbor cells resolve to bucket rows via a binary search over
-     the sorted occupied-cell ids (exact — no hash collisions),
-  3. candidates (27 * bucket_capacity per source point, a few hundred) are
-     distance-tested and reduced with one top_k — versus the brute-force
-     engine's streaming scan of all M targets.
+  2. the 27 neighbor cells resolve to bucket rows via ONE gather into a
+     dense linear-cell-id -> bucket lookup table (jnp.searchsorted is the
+     fallback for grids too big to materialize densely — it lowers to a
+     sequential scan that measured ~140 ms at 35k x 27 queries on a v5e),
+  3. candidate coordinates come from a pre-materialized (U, capacity, 3)
+     padded bucket tensor, so the gather moves whole contiguous buckets
+     (hundreds of bytes per row) instead of tens of millions of scattered
+     12-byte points — the difference between ~200 ms and ~20 ms of HBM
+     gather time per iteration,
+  4. one top_k over (S, 27*capacity) candidates per source block.
 
-Work drops from O(N*M) to O(N * local_density); at 35k-point clouds this is
-the difference between ~milliseconds and ~hundreds of milliseconds per outer
-iteration on a TPU chip (the brute-force path in ops/neighbors.py remains the
-fallback for tiny clouds, huge cell occupancy, or grids whose linear id would
-overflow int32).
+Work drops from O(N*M) to O(N * local_density); the brute-force engine in
+ops/neighbors.py remains the fallback for tiny clouds, extreme cell
+occupancy, or degenerate grids.
 
 Exactness: identical neighbor *sets* to brute force (up to distance ties at
-the k-th slot). Targets are stored permuted by cell so bucket gathers are
-contiguous in HBM.
+the k-th slot), asserted in tests/test_grid.py.
 """
 from __future__ import annotations
 
@@ -46,31 +48,22 @@ class HashGrid(NamedTuple):
     """Static-shape target voxel grid (device arrays; built host-side).
 
     Attributes:
-      points: (M, 3) target points permuted so each cell's members are
-        contiguous.
-      perm: (M,) original target index of each permuted row.
-      cell_ids: (U,) sorted linear ids of occupied cells.
-      bucket_start: (U,) first permuted row of each occupied cell.
-      bucket_count: (U,) member count of each occupied cell.
+      bucket_pts: (U, capacity, 3) padded per-cell member coordinates.
+      bucket_idx: (U, capacity) original target index per slot; -1 = padding.
+      cell_ids: (U,) sorted linear ids of occupied cells (searchsorted
+        fallback when ``lut`` is None).
       capacity: static int — max members in any cell, rounded up (pow2).
       origin: (3,) grid origin (min corner of the target bbox).
       dims: (3,) int32 grid dimensions.
       cell_size: float cell edge length (== search radius).
       num_valid: number of real (non-padding) target points.
       lut: (dims prod,) int32 dense linear-cell-id -> occupied-cell row
-        (-1 = empty), or None for grids too large to materialize densely —
-        cell resolution then falls back to a binary search over cell_ids.
-        The dense lookup is one gather; jnp.searchsorted lowers to a
-        log(U)-step sequential scan that measured ~140 ms at 35k x 27
-        queries on a v5e — the difference between the grid engine winning
-        and losing.
+        (-1 = empty), or None for grids too large to materialize densely.
     """
 
-    points: jnp.ndarray
-    perm: jnp.ndarray
+    bucket_pts: jnp.ndarray
+    bucket_idx: jnp.ndarray
     cell_ids: jnp.ndarray
-    bucket_start: jnp.ndarray
-    bucket_count: jnp.ndarray
     capacity: int
     origin: jnp.ndarray
     dims: jnp.ndarray
@@ -110,24 +103,26 @@ def build_grid(target: np.ndarray, cell_size: float, *, num_valid: int | None = 
     if 27 * capacity >= max(n, 1):
         return None  # occupancy too high for the grid to pay off
 
-    pts_perm = np.zeros((m_total, 3), dtype=target.dtype)
-    pts_perm[: order.shape[0]] = pts[order]
-    perm = np.full((m_total,), n, dtype=np.int32)
-    perm[: order.shape[0]] = order.astype(np.int32)
+    u = cell_ids.shape[0]
+    # Materialized padded buckets: contiguous per-cell coordinate rows.
+    bucket_idx = np.full((u, capacity), -1, dtype=np.int32)
+    slot_of = np.arange(n) - start[np.searchsorted(cell_ids, lin_sorted)]
+    bucket_idx[np.searchsorted(cell_ids, lin_sorted), slot_of] = order.astype(np.int32)
+    bucket_pts = np.zeros((u, capacity, 3), dtype=target.dtype)
+    live = bucket_idx >= 0
+    bucket_pts[live] = pts[bucket_idx[live]]
 
     dims_prod = int(dims[0]) * int(dims[1]) * int(dims[2])
     lut = None
     if dims_prod <= _MAX_DENSE_LUT_CELLS:
         lut_np = np.full((dims_prod,), -1, dtype=np.int32)
-        lut_np[cell_ids] = np.arange(cell_ids.shape[0], dtype=np.int32)
+        lut_np[cell_ids] = np.arange(u, dtype=np.int32)
         lut = jnp.asarray(lut_np)
 
     return HashGrid(
-        points=jnp.asarray(pts_perm),
-        perm=jnp.asarray(perm),
+        bucket_pts=jnp.asarray(bucket_pts),
+        bucket_idx=jnp.asarray(bucket_idx),
         cell_ids=jnp.asarray(cell_ids.astype(np.int32)),
-        bucket_start=jnp.asarray(start.astype(np.int32)),
-        bucket_count=jnp.asarray(counts.astype(np.int32)),
         capacity=capacity,
         origin=jnp.asarray(origin),
         dims=jnp.asarray(dims.astype(np.int32)),
@@ -144,15 +139,13 @@ _NEIGHBOR_OFFSETS = np.stack(
 
 @partial(
     jax.jit,
-    static_argnames=("k", "radius", "capacity", "num_valid", "source_tile"),
+    static_argnames=("k", "radius", "capacity", "source_tile"),
 )
 def grid_radius_search(
     source: jnp.ndarray,
-    grid_points: jnp.ndarray,
-    grid_perm: jnp.ndarray,
+    bucket_pts: jnp.ndarray,
+    bucket_idx: jnp.ndarray,
     cell_ids: jnp.ndarray,
-    bucket_start: jnp.ndarray,
-    bucket_count: jnp.ndarray,
     origin: jnp.ndarray,
     dims: jnp.ndarray,
     lut: jnp.ndarray | None,
@@ -160,7 +153,6 @@ def grid_radius_search(
     k: int,
     radius: float,
     capacity: int,
-    num_valid: int,
     source_valid: jnp.ndarray,
     source_tile: int = 4096,
 ) -> Correspondences:
@@ -168,8 +160,7 @@ def grid_radius_search(
 
     Same contract as ops.neighbors.radius_search: (N, k) original-target
     indices + squared distances + mask, k nearest within ``radius`` per valid
-    source row. Cell edge must equal ``radius`` (build_grid enforces by
-    construction when called with cell_size=radius).
+    source row. Cell edge must equal ``radius``.
     """
     n = source.shape[0]
     dtype = source.dtype
@@ -200,26 +191,21 @@ def grid_radius_search(
             pos_safe = jnp.minimum(pos, u - 1)
             hit = in_bounds & (cell_ids[pos_safe] == nlin)
 
-        start = jnp.where(hit, bucket_start[pos_safe], 0)  # (S, 27)
-        count = jnp.where(hit, bucket_count[pos_safe], 0)
-        slot = jax.lax.broadcasted_iota(jnp.int32, (s, 27, capacity), 2)
-        rows = start[..., None] + slot  # permuted-target rows
-        live = slot < count[..., None]
-        rows = jnp.where(live, rows, num_valid)  # sentinel row (zeros)
-        rows = rows.reshape(s, 27 * capacity)
-        live = live.reshape(s, 27 * capacity)
+        # Whole-bucket gathers: (S, 27, C, 3) coordinates + (S, 27, C) ids.
+        cand_pts = bucket_pts[pos_safe].reshape(s, 27 * capacity, 3)
+        cand_idx = bucket_idx[pos_safe].reshape(s, 27 * capacity)
+        live = hit[..., None].repeat(capacity, -1).reshape(s, 27 * capacity)
+        live &= cand_idx >= 0
 
-        cand_pts = grid_points[jnp.minimum(rows, grid_points.shape[0] - 1)]
         diff = cand_pts - s_blk[:, None, :]
         d2 = jnp.sum(diff * diff, axis=-1)
         d2 = jnp.where(live & v_blk[:, None] & (d2 <= r2), d2, jnp.inf)
 
         neg_best, args_ = lax.top_k(-d2, k)
         best_d = -neg_best
-        best_rows = jnp.take_along_axis(rows, args_, axis=1)
         found = jnp.isfinite(best_d)
-        orig = grid_perm[jnp.minimum(best_rows, grid_perm.shape[0] - 1)]
-        return jnp.where(found, orig, 0), best_d, found
+        best_idx = jnp.take_along_axis(cand_idx, args_, axis=1)
+        return jnp.where(found, best_idx, 0), best_d, found
 
     blocks = (
         src.reshape(n_pad // source_tile, source_tile, 3),
@@ -252,18 +238,15 @@ def grid_search(grid: HashGrid, source, *, k: int, radius: float, source_valid,
         source_tile = pick_source_tile(grid.capacity)
     return grid_radius_search(
         source,
-        grid.points,
-        grid.perm,
+        grid.bucket_pts,
+        grid.bucket_idx,
         grid.cell_ids,
-        grid.bucket_start,
-        grid.bucket_count,
         grid.origin,
         grid.dims,
         grid.lut,
         k=k,
         radius=radius,
         capacity=grid.capacity,
-        num_valid=grid.num_valid,
         source_valid=source_valid,
         source_tile=source_tile,
     )
