@@ -100,6 +100,14 @@ def main():
 
     if args.record_cpu_baseline:
         jax.config.update("jax_platforms", "cpu")
+    try:
+        # Persistent compile cache: the 35k registration program takes
+        # minutes to compile via the remote TPU compiler; cache hits across
+        # bench invocations skip that entirely.
+        jax.config.update("jax_compilation_cache_dir", str(Path.home() / ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
 
     pair_seconds = measure(args.points, args.iters, args.repeats)
     pairs_per_s = 1.0 / pair_seconds

@@ -62,7 +62,9 @@ def main(argv=None) -> int:
 
     scan_dir = Path(args.scan_dir)
     if scan_dir.is_dir():
-        scans = sorted(scan_dir.glob("*.pcd"))
+        scans = sorted(scan_dir.glob("*.pcd")) or sorted(
+            scan_dir.glob("*.bin")  # KITTI Velodyne sequences
+        )
     else:
         scans = sorted(Path(".").glob(args.scan_dir))
     if args.max_scans:
@@ -94,8 +96,13 @@ def main(argv=None) -> int:
     print(f"Trajectory written to {ckpt} ({len(result.poses)} poses)")
 
     if args.ground_truth:
-        gt = json.loads(Path(args.ground_truth).read_text())
-        gt_poses = [np.asarray(m, dtype=np.float64) for m in gt]
+        if args.ground_truth.endswith(".json"):
+            gt = json.loads(Path(args.ground_truth).read_text())
+            gt_poses = [np.asarray(m, dtype=np.float64) for m in gt]
+        else:  # KITTI 12-float-per-line pose format
+            from .io.kitti import load_poses
+
+            gt_poses = load_poses(args.ground_truth)
         n = min(len(gt_poses), len(result.poses))
         rmse = ate_rmse(result.poses[:n], gt_poses[:n])
         print(f"ATE RMSE vs ground truth over {n} poses: {rmse}")

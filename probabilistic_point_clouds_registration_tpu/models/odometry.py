@@ -42,6 +42,10 @@ ScanSource = Union[np.ndarray, str, Path]
 
 def _load_scan(scan: ScanSource) -> np.ndarray:
     if isinstance(scan, (str, Path)):
+        if str(scan).endswith(".bin"):
+            from ..io.kitti import load_velodyne_bin
+
+            return load_velodyne_bin(scan).astype(np.float64)
         from ..io.pcd import load_pcd
 
         return load_pcd(str(scan))
