@@ -78,6 +78,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="device compute dtype")
     p.add_argument("--backend", default=None,
                    help="JAX platform override (e.g. cpu) for local runs")
+    p.add_argument("--search_impl", default="auto",
+                   choices=["auto", "grid", "brute", "pallas"],
+                   help="data-association engine")
+    p.add_argument("--outer_chunk", type=int, default=4,
+                   help="outer iterations fused per device program (grid engine)")
+    p.add_argument("--profile_dir", default=None,
+                   help="write a jax.profiler trace of align() to this directory")
     return p
 
 
@@ -103,6 +110,9 @@ def main(argv=None) -> int:
         source_filter_size=args.source_filter_size,
         target_filter_size=args.target_filter_size,
         dtype=args.dtype,
+        search_impl=args.search_impl,
+        outer_chunk=args.outer_chunk,
+        profile_dir=args.profile_dir,
     )
 
     if args.verbose:

@@ -39,7 +39,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-u", "--use_gaussian", action="store_true")
     p.add_argument("-v", "--verbose", action="store_true")
     p.add_argument("--ground_truth", default=None,
-                   help="Ground-truth trajectory JSON ([[4x4], ...]) for ATE RMSE")
+                   help="Ground-truth trajectory for ATE RMSE: JSON ([[4x4], ...]) "
+                        "or a KITTI poses file (12 floats per line)")
+    p.add_argument("--calib", default=None,
+                   help="KITTI calib.txt with the 'Tr' Velodyne->camera extrinsic; "
+                        "required for meaningful ATE against KITTI camera-frame "
+                        "ground truth (poses are re-expressed in the Velodyne frame)")
     p.add_argument("--max_scans", type=int, default=None,
                    help="Limit the number of scans (debug / benchmarking)")
     p.add_argument("--no_resume", action="store_true",
@@ -62,9 +67,9 @@ def main(argv=None) -> int:
 
     scan_dir = Path(args.scan_dir)
     if scan_dir.is_dir():
-        scans = sorted(scan_dir.glob("*.pcd")) or sorted(
-            scan_dir.glob("*.bin")  # KITTI Velodyne sequences
-        )
+        from .io.kitti import list_velodyne_scans
+
+        scans = sorted(scan_dir.glob("*.pcd")) or list_velodyne_scans(scan_dir)
     else:
         scans = sorted(Path(".").glob(args.scan_dir))
     if args.max_scans:
@@ -96,13 +101,24 @@ def main(argv=None) -> int:
     print(f"Trajectory written to {ckpt} ({len(result.poses)} poses)")
 
     if args.ground_truth:
-        if args.ground_truth.endswith(".json"):
-            gt = json.loads(Path(args.ground_truth).read_text())
+        # Dispatch by content, not filename: JSON trajectories keep working
+        # whatever they are called; anything else is the KITTI pose format.
+        gt_text = Path(args.ground_truth).read_text()
+        try:
+            gt = json.loads(gt_text)
             gt_poses = [np.asarray(m, dtype=np.float64) for m in gt]
-        else:  # KITTI 12-float-per-line pose format
+        except json.JSONDecodeError:
             from .io.kitti import load_poses
 
             gt_poses = load_poses(args.ground_truth)
+        if args.calib:
+            from .io.kitti import camera_poses_to_velodyne, load_calibration
+
+            tr = load_calibration(args.calib)
+            gt_poses = camera_poses_to_velodyne(gt_poses, tr)
+        # Anchor both trajectories at the first pose (odometry starts at I).
+        gt0 = np.linalg.inv(gt_poses[0])
+        gt_poses = [gt0 @ p for p in gt_poses]
         n = min(len(gt_poses), len(result.poses))
         rmse = ate_rmse(result.poses[:n], gt_poses[:n])
         print(f"ATE RMSE vs ground truth over {n} poses: {rmse}")

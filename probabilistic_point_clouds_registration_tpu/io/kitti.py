@@ -45,6 +45,35 @@ def load_poses(path) -> List[np.ndarray]:
     return poses
 
 
+def load_calibration(path) -> np.ndarray:
+    """4x4 ``Tr`` (Velodyne -> left camera) from a KITTI odometry calib.txt.
+
+    KITTI ground-truth poses live in the left-camera frame while scans are
+    Velodyne-frame; compare trajectories via
+    ``P_velo = Tr^-1 @ P_cam @ Tr`` (see :func:`camera_poses_to_velodyne`).
+    """
+    for line in Path(path).read_text().splitlines():
+        if line.startswith("Tr:") or line.startswith("Tr "):
+            vals = [float(v) for v in line.split()[1:]]
+            if len(vals) != 12:
+                raise ValueError(f"calib Tr line has {len(vals)} values, expected 12")
+            m = np.eye(4)
+            m[:3, :4] = np.asarray(vals).reshape(3, 4)
+            return m
+    raise ValueError(f"no 'Tr:' line in {path}")
+
+
+def camera_poses_to_velodyne(poses: Sequence[np.ndarray], tr: np.ndarray):
+    """Re-express left-camera-frame poses in the Velodyne frame.
+
+    Without this, comparing Velodyne odometry against raw KITTI ground truth
+    mixes axes conventions (camera z-forward/y-down vs Velodyne x-forward/
+    z-up) and the ATE is meaningless.
+    """
+    tr_inv = np.linalg.inv(tr)
+    return [tr_inv @ np.asarray(p, dtype=np.float64) @ tr for p in poses]
+
+
 def save_poses(path, poses: Sequence[np.ndarray]) -> None:
     """Write 4x4 poses in the KITTI 12-float row-major [R | t] format."""
     with open(path, "w") as f:

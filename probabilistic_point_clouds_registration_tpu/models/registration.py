@@ -315,6 +315,12 @@ class ProbabilisticRegistration:
         self.params = params
         self.out = OutputStream(params.verbose)
         self.dtype = jnp.dtype(params.dtype)
+        # Size/capacity-specialized programs take minutes on remote TPU
+        # compilers; a durable cache makes re-specialization one-time per
+        # machine (PCR_TPU_NO_COMPILE_CACHE=1 opts out).
+        from ..utils.compile_cache import enable_persistent_compilation_cache
+
+        enable_persistent_compilation_cache()
 
         self.source_cloud = np.array(source_cloud, dtype=np.float64)
         if params.source_filter_size > 0:

@@ -52,7 +52,8 @@ class HashGrid(NamedTuple):
       bucket_idx: (U, capacity) original target index per slot; -1 = padding.
       cell_ids: (U,) sorted linear ids of occupied cells (searchsorted
         fallback when ``lut`` is None).
-      capacity: static int — max members in any cell, rounded up (pow2).
+      capacity: static int — max members in any cell, rounded up to a
+        multiple of 8 (pow2 above 64; see _quantize_capacity).
       origin: (3,) grid origin (min corner of the target bbox).
       dims: (3,) int32 grid dimensions.
       cell_size: float cell edge length (== search radius).
@@ -70,6 +71,21 @@ class HashGrid(NamedTuple):
     cell_size: float
     num_valid: int
     lut: jnp.ndarray | None
+
+
+def _quantize_capacity(cap: int) -> int:
+    """Bucket capacity for a max cell occupancy of ``cap``.
+
+    Candidate width (27*capacity) directly scales gather + distance +
+    selection cost, so tight beats pow2-pretty (pow2 measured 1.6x extra
+    work at occupancy 35 -> 64) — but capacity is a static jit arg, so every
+    distinct value is a fresh multi-minute remote compile. Compromise:
+    multiples of 8 up to 64 (where the work penalty of coarser rounding is
+    largest), then powers of two (few compile classes for dense clouds).
+    """
+    if cap <= 64:
+        return max(8, round_up(cap, 8))
+    return 1 << (cap - 1).bit_length()
 
 
 def build_grid(target: np.ndarray, cell_size: float, *, num_valid: int | None = None):
@@ -98,11 +114,7 @@ def build_grid(target: np.ndarray, cell_size: float, *, num_valid: int | None = 
     cell_ids, start, counts = np.unique(
         lin_sorted, return_index=True, return_counts=True
     )
-    cap = int(counts.max())
-    # Multiple-of-8 bucket capacity: candidate width (27*capacity) directly
-    # scales gather + distance + selection cost, so tight beats pow2-pretty
-    # (pow2 rounding measured 1.6x extra work at max-occupancy 35 -> 64).
-    capacity = max(8, round_up(cap, 8))
+    capacity = _quantize_capacity(int(counts.max()))
     if 27 * capacity >= max(n, 1):
         return None  # occupancy too high for the grid to pay off
 

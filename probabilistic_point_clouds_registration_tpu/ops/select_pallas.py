@@ -63,9 +63,11 @@ def pallas_row_topk(
 ):
     """k smallest entries per row of ``d2`` (masked entries = +inf).
 
-    Returns (values (N, k), indices (N, k)), ascending per row. Rows with
-    fewer than k finite entries pad with +inf / 2**30 — same contract as the
-    grid engine's ``lax.top_k`` on negated distances.
+    Returns (values (N, k), indices (N, k)), ascending per row; ties broken
+    by lowest column index. Slots beyond a row's finite entries hold value
+    +inf but an UNSPECIFIED index (the column-padding clamp can map the
+    2**30 in-kernel sentinel to an in-range id) — callers must mask by
+    ``isfinite(values)``, exactly as the grid engine does, never by index.
     """
     n, w = d2.shape
     k_pad = round_up(k, 128)
