@@ -146,12 +146,16 @@ def run_odometry(
     if result is None:
         result = OdometryResult(poses=[np.eye(4)])
 
+    from ..io.prefetch import ScanPrefetcher
+
     start_pair = len(result.relative_transforms)
-    prev_scan = _load_scan(scans[start_pair]) if start_pair < n_scans - 1 else None
+    prefetcher = ScanPrefetcher(scans)
+    prev_scan = prefetcher.get(start_pair) if start_pair < n_scans - 1 else None
 
     for i in range(start_pair, n_scans - 1):
-        source = _load_scan(scans[i + 1])
-        target = prev_scan if prev_scan is not None else _load_scan(scans[i])
+        # Overlaps the next scans' disk read/decompress with device compute.
+        source = prefetcher.get(i + 1)
+        target = prev_scan if prev_scan is not None else prefetcher.get(i)
         out << f"[pair {i}] registering scan {i + 1} ({source.shape[0]} pts) onto scan {i} ({target.shape[0]} pts)\n"
 
         reg = ProbabilisticRegistration(source, target, params)

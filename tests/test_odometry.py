@@ -120,3 +120,18 @@ def test_odometry_cli(tmp_path, capsys):
     assert "ATE RMSE" in captured
     rmse = float(captured.rsplit(":", 1)[1])
     assert rmse < 0.05
+
+
+def test_prefetcher_loads_in_order(tmp_path):
+    from probabilistic_point_clouds_registration_tpu.io.prefetch import ScanPrefetcher
+    from probabilistic_point_clouds_registration_tpu.io.pcd import save_pcd
+
+    arrays = [np.random.default_rng(i).random((50, 3)) for i in range(5)]
+    paths = []
+    for i, a in enumerate(arrays):
+        p = tmp_path / f"s{i}.pcd"
+        save_pcd(str(p), a)
+        paths.append(p)
+    with ScanPrefetcher(paths, depth=2) as pf:
+        for i in range(5):
+            np.testing.assert_allclose(pf.get(i), arrays[i], atol=1e-6)
