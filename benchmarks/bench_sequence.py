@@ -1,0 +1,96 @@
+"""BASELINE configs #3/#4: sequential scan-to-scan odometry with ATE.
+
+Runs the odometry pipeline over a sequence — real data when a directory of
+scans is given (ETH ASL PCDs or a KITTI Velodyne sequence + poses/calib),
+else a synthetic bunny-world sequence — and reports scan pairs/s and ATE
+RMSE against ground truth.
+
+Usage:
+  python benchmarks/bench_sequence.py                       # synthetic
+  python benchmarks/bench_sequence.py --scans /data/seq00/velodyne \
+      --ground_truth /data/poses/00.txt --calib /data/seq00/calib.txt
+"""
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+from common import emit, synthetic_sequence
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scans", default=None, help="directory of .pcd/.bin scans")
+    ap.add_argument("--ground_truth", default=None)
+    ap.add_argument("--calib", default=None)
+    ap.add_argument("--n_scans", type=int, default=6, help="synthetic sequence length")
+    ap.add_argument("--points", type=int, default=20_000)
+    ap.add_argument("--radius", type=float, default=0.1)
+    ap.add_argument("--backend", default=None)
+    args = ap.parse_args()
+    if args.backend:
+        import jax
+
+        jax.config.update("jax_platforms", args.backend)
+
+    from probabilistic_point_clouds_registration_tpu import RegistrationParams
+    from probabilistic_point_clouds_registration_tpu.models.odometry import run_odometry
+
+    gt_poses = None
+    if args.scans:
+        from pathlib import Path
+
+        from probabilistic_point_clouds_registration_tpu.io.kitti import (
+            camera_poses_to_velodyne,
+            list_velodyne_scans,
+            load_calibration,
+            load_poses,
+        )
+
+        d = Path(args.scans)
+        scans = sorted(d.glob("*.pcd")) or list_velodyne_scans(d)
+        label = f"sequence:{d.name}"
+        if args.ground_truth:
+            gt_poses = load_poses(args.ground_truth)
+            if args.calib:
+                gt_poses = camera_poses_to_velodyne(
+                    gt_poses, load_calibration(args.calib)
+                )
+            anchor = np.linalg.inv(gt_poses[0])
+            gt_poses = [anchor @ p for p in gt_poses]
+    else:
+        scans, gt_poses = synthetic_sequence(args.n_scans, args.points)
+        label = "sequence:synthetic"
+
+    params = RegistrationParams(
+        max_neighbours=20,
+        radius=args.radius,
+        n_iter=12,
+        cost_drop_thresh=0.005,
+        dtype="float32",
+    )
+    t0 = time.perf_counter()
+    result = run_odometry(scans, params)
+    seconds = time.perf_counter() - t0
+    n_pairs = len(result.relative_transforms)
+
+    record = {
+        "config": label,
+        "metric": "scan_pairs_per_s",
+        "value": round(n_pairs / seconds, 4),
+        "unit": "pairs/s",
+        "n_pairs": n_pairs,
+        "total_seconds": round(seconds, 2),
+    }
+    if gt_poses is not None:
+        from probabilistic_point_clouds_registration_tpu.utils.eval import ate_rmse
+
+        n = min(len(gt_poses), len(result.poses))
+        record["ate_rmse"] = ate_rmse(result.poses[:n], gt_poses[:n])
+    emit(record)
+
+
+if __name__ == "__main__":
+    main()

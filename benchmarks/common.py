@@ -1,0 +1,66 @@
+"""Shared helpers for the benchmark scripts (BASELINE.json configs).
+
+Each script prints one JSON line per measured configuration:
+{"config": ..., "metric": ..., "value": ..., "unit": ...} plus
+config-specific fields. Synthetic stand-ins are generated when the real
+datasets (Stanford Bunny, Kinect, ETH ASL, KITTI) are not on disk — the
+repo, like the reference, ships no datasets.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def emit(record: dict) -> None:
+    print(json.dumps(record), flush=True)
+
+
+def transformed_pair(points: np.ndarray, theta: float, translation) -> np.ndarray:
+    rot = np.array(
+        [
+            [np.cos(theta), -np.sin(theta), 0.0],
+            [np.sin(theta), np.cos(theta), 0.0],
+            [0.0, 0.0, 1.0],
+        ]
+    )
+    return points @ rot.T + np.asarray(translation)
+
+
+def time_align(reg) -> float:
+    t0 = time.perf_counter()
+    reg.align()
+    return time.perf_counter() - t0
+
+
+def synthetic_sequence(n_scans: int, n_points: int = 20_000, seed: int = 0):
+    """Scans of a bunny-like world seen from an incrementally moving sensor."""
+    from probabilistic_point_clouds_registration_tpu.io.synthetic import bunny_like
+
+    world = bunny_like(n_points, seed=seed)
+    theta = 0.015
+    rot = np.array(
+        [
+            [np.cos(theta), -np.sin(theta), 0.0],
+            [np.sin(theta), np.cos(theta), 0.0],
+            [0.0, 0.0, 1.0],
+        ]
+    )
+    delta = np.eye(4)
+    delta[:3, :3] = rot
+    delta[:3, 3] = [0.015, -0.01, 0.005]
+    pose = np.eye(4)
+    scans, poses = [], []
+    for _ in range(n_scans):
+        inv = np.linalg.inv(pose)
+        scans.append(world @ inv[:3, :3].T + inv[:3, 3])
+        poses.append(pose.copy())
+        pose = pose @ delta
+    return scans, poses
