@@ -58,6 +58,10 @@ class RegistrationParams:
     # Outer iterations fused into one device program (lax.scan) when the grid
     # engine is active; the host syncs once per chunk. 1 disables fusion.
     outer_chunk: int = 4
+    # Candidate k-selection inside the grid engine: "auto" | "topk" |
+    # "pallas" | "approx" (lax.approx_max_k, recall ~0.99 — faster, neighbor
+    # sets may differ from FLANN's at the k-th slot).
+    search_select: str = "auto"
     # Tile size over the target axis in the streaming top-k search.
     search_target_tile: int = 2048
     # When set, align() runs under jax.profiler.trace writing to this

@@ -140,7 +140,7 @@ def _registration_step_pallas(
 
 @partial(
     jax.jit,
-    static_argnames=("k", "radius", "lm_config", "capacity"),
+    static_argnames=("k", "radius", "lm_config", "capacity", "select_impl"),
 )
 def _registration_step_grid(
     filtered_source,
@@ -161,6 +161,7 @@ def _registration_step_grid(
     radius: float,
     lm_config: LMConfig,
     capacity: int,
+    select_impl: str = "auto",
 ):
     """One fused outer iteration against the prebuilt target hash grid.
 
@@ -185,6 +186,7 @@ def _registration_step_grid(
         capacity=capacity,
         source_valid=source_valid,
         source_tile=pick_source_tile(capacity),
+        select_impl=select_impl,
     )
     gathered = target[corr.indices]
     result = em_lm_solve(moved, gathered, corr.mask, q0, t0, lm_config)
@@ -194,7 +196,7 @@ def _registration_step_grid(
 
 @partial(
     jax.jit,
-    static_argnames=("k", "radius", "lm_config", "capacity", "chunk"),
+    static_argnames=("k", "radius", "lm_config", "capacity", "chunk", "select_impl"),
 )
 def _registration_scan_grid(
     filtered_source,
@@ -216,6 +218,7 @@ def _registration_scan_grid(
     lm_config: LMConfig,
     capacity: int,
     chunk: int,
+    select_impl: str = "auto",
 ):
     """``chunk`` fused outer iterations in ONE device program (lax.scan).
 
@@ -248,6 +251,7 @@ def _registration_scan_grid(
             capacity=capacity,
             source_valid=source_valid,
             source_tile=pick_source_tile(capacity),
+            select_impl=select_impl,
         )
         gathered = target[corr.indices]
         res = em_lm_solve(moved, gathered, corr.mask, q0, t0, lm_config)
@@ -503,6 +507,7 @@ class ProbabilisticRegistration:
                     lm_config=self._lm_config,
                     capacity=g.capacity,
                     chunk=chunk,
+                    select_impl=p.search_select,
                 )
                 qs, ts, ics, fcs, nits, nsucc, ncorr = jax.device_get(outs)
                 per_iter = (time.perf_counter() - iter_start) / chunk
@@ -540,6 +545,7 @@ class ProbabilisticRegistration:
                     radius=p.radius,
                     lm_config=self._lm_config,
                     capacity=g.capacity,
+                    select_impl=p.search_select,
                 )
             else:
                 use_pallas = (

@@ -74,18 +74,15 @@ class HashGrid(NamedTuple):
 
 
 def _quantize_capacity(cap: int) -> int:
-    """Bucket capacity for a max cell occupancy of ``cap``.
+    """Bucket capacity for a max cell occupancy of ``cap``: next power of two.
 
-    Candidate width (27*capacity) directly scales gather + distance +
-    selection cost, so tight beats pow2-pretty (pow2 measured 1.6x extra
-    work at occupancy 35 -> 64) — but capacity is a static jit arg, so every
-    distinct value is a fresh multi-minute remote compile. Compromise:
-    multiples of 8 up to 64 (where the work penalty of coarser rounding is
-    largest), then powers of two (few compile classes for dense clouds).
+    Counter-intuitively, tighter multiple-of-8 capacities measured SLOWER
+    despite 1.6x less candidate work (v5e, 35k pair: capacity 40 -> 87.6 ms
+    search vs capacity 64 -> 72.8 ms) — pow2 bucket rows tile onto the
+    (8, 128) vector layout and gather granularity cleanly. Pow2 also keeps
+    the number of static compile classes small across a sequence's scans.
     """
-    if cap <= 64:
-        return max(8, round_up(cap, 8))
-    return 1 << (cap - 1).bit_length()
+    return max(8, 1 << (cap - 1).bit_length())
 
 
 def build_grid(target: np.ndarray, cell_size: float, *, num_valid: int | None = None):
@@ -178,12 +175,15 @@ def grid_radius_search(
     indices + squared distances + mask, k nearest within ``radius`` per valid
     source row. Cell edge must equal ``radius``.
 
-    ``select_impl``: "auto" (Pallas K-pass selection on TPU — lax.top_k
-    measured 35 ms at (35k, 1728)->20 vs a few ms for the kernel — else
-    lax.top_k), "topk", "pallas", or "pallas_interpret" (tests).
+    ``select_impl``: "auto" (= "topk": at pow2 capacities lax.top_k edged
+    out the Pallas K-pass kernel, 72.8 vs 75.1 ms full-search on the 35k
+    pair — both are pass/bandwidth-bound), "topk", "pallas",
+    "pallas_interpret" (tests), or "approx" (lax.approx_max_k, recall
+    ~0.99 — opt-in because neighbor sets then differ from FLANN's by
+    design).
     """
     if select_impl == "auto":
-        select_impl = "pallas" if jax.default_backend() == "tpu" else "topk"
+        select_impl = "topk"
     n = source.shape[0]
     dtype = source.dtype
     u = cell_ids.shape[0]
@@ -229,6 +229,9 @@ def grid_radius_search(
             best_d, args_ = pallas_row_topk(
                 d2, k=k, interpret=select_impl == "pallas_interpret"
             )
+        elif select_impl == "approx":
+            neg_best, args_ = lax.approx_max_k(-d2, k, recall_target=0.99)
+            best_d = -neg_best
         else:
             neg_best, args_ = lax.top_k(-d2, k)
             best_d = -neg_best

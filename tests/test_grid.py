@@ -167,3 +167,47 @@ def test_grid_pallas_selection_matches_topk():
         nm = m.sum()
         assert set(ia[:nm]) == set(ib[:nm])
         np.testing.assert_allclose(np.sort(da[:nm]), np.sort(db[:nm]), atol=1e-9)
+
+
+def test_grid_approx_selection_high_recall():
+    """approx_max_k selection: opt-in approximate path must keep >=95% of the
+    exact neighbor pairs on a realistic fixture."""
+    import jax.numpy as jnp
+
+    from probabilistic_point_clouds_registration_tpu.core.types import (
+        pad_cloud, valid_mask,
+    )
+    from probabilistic_point_clouds_registration_tpu.ops.grid import (
+        grid_radius_search,
+    )
+
+    tgt = bunny_like(4000)
+    src = bunny_like(3000, seed=7)
+    src_p, n_src = pad_cloud(src, 64, pad_value=0.0)
+    tgt_p, n_tgt = pad_cloud(tgt, 64, pad_value=0.0)
+    sv = valid_mask(src_p.shape[0], n_src)
+    grid = build_grid(tgt_p, 0.15, num_valid=n_tgt)
+
+    def run(select):
+        return grid_radius_search(
+            jnp.asarray(src_p), grid.bucket_pts, grid.bucket_idx, grid.cell_ids,
+            grid.origin, grid.dims, grid.lut,
+            k=10, radius=0.15, capacity=grid.capacity, source_valid=sv,
+            source_tile=256, select_impl=select,
+        )
+
+    exact = run("topk")
+    approx = run("approx")
+    exact_pairs = {
+        (i, j)
+        for i, (row, m) in enumerate(zip(np.asarray(exact.indices), np.asarray(exact.mask)))
+        for j in row[: m.sum()]
+    }
+    approx_pairs = {
+        (i, j)
+        for i, (row, m) in enumerate(zip(np.asarray(approx.indices), np.asarray(approx.mask)))
+        for j in row[: m.sum()]
+    }
+    assert approx_pairs  # sanity
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.95, recall
