@@ -175,15 +175,17 @@ def grid_radius_search(
     indices + squared distances + mask, k nearest within ``radius`` per valid
     source row. Cell edge must equal ``radius``.
 
-    ``select_impl``: "auto" (= "topk": at pow2 capacities lax.top_k edged
-    out the Pallas K-pass kernel, 72.8 vs 75.1 ms full-search on the 35k
-    pair — both are pass/bandwidth-bound), "topk", "pallas",
-    "pallas_interpret" (tests), or "approx" (lax.approx_max_k, recall
-    ~0.99 — opt-in because neighbor sets then differ from FLANN's by
-    design).
+    ``select_impl``: "auto" picks by capacity from v5e A/Bs — "hier"
+    (exact per-cell-then-merge two-stage top_k) wins on sparse grids
+    (KITTI 131k, capacity 8: 195 vs 227 ms full search) while flat "topk"
+    wins on dense ones (35k, capacity 64: 74 vs 109 ms; it also edged out
+    the Pallas K-pass kernel 72.8 vs 75.1 ms — both pass/bandwidth-bound).
+    Explicit options: "topk", "hier", "pallas", "pallas_interpret" (tests),
+    "approx" (lax.approx_max_k, recall ~0.99 — opt-in because neighbor sets
+    then differ from FLANN's by design).
     """
     if select_impl == "auto":
-        select_impl = "topk"
+        select_impl = "hier" if capacity <= 16 else "topk"
     n = source.shape[0]
     dtype = source.dtype
     u = cell_ids.shape[0]
@@ -232,6 +234,19 @@ def grid_radius_search(
         elif select_impl == "approx":
             neg_best, args_ = lax.approx_max_k(-d2, k, recall_target=0.99)
             best_d = -neg_best
+        elif select_impl == "hier":
+            # Exact two-stage selection: per-cell top-k (narrow, cheap)
+            # then a merge top-k over 27*k candidates — the global k best
+            # cannot include more than k members of any one cell.
+            kc = min(k, capacity)
+            neg1, a1 = lax.top_k(-d2.reshape(s, 27, capacity), kc)
+            cols1 = (
+                jax.lax.broadcasted_iota(jnp.int32, (s, 27, kc), 1) * capacity
+                + a1
+            ).reshape(s, 27 * kc)
+            neg_best, a2 = lax.top_k(neg1.reshape(s, 27 * kc), k)
+            best_d = -neg_best
+            args_ = jnp.take_along_axis(cols1, a2, axis=1)
         else:
             neg_best, args_ = lax.top_k(-d2, k)
             best_d = -neg_best
