@@ -66,8 +66,10 @@ def run_once(src, tgt, n_iter: int):
         pad_multiple=1024,
         max_inner_iterations=50,
     )
-    reg = ProbabilisticRegistration(src, tgt, params)
+    # End-to-end pair time includes construction: voxel/grid build and the
+    # host->device upload are real per-pair costs in sequence odometry.
     t0 = time.perf_counter()
+    reg = ProbabilisticRegistration(src, tgt, params)
     reg.align()
     return time.perf_counter() - t0, reg
 
@@ -100,14 +102,11 @@ def main():
 
     if args.record_cpu_baseline:
         jax.config.update("jax_platforms", "cpu")
-    try:
-        # Persistent compile cache: the 35k registration program takes
-        # minutes to compile via the remote TPU compiler; cache hits across
-        # bench invocations skip that entirely.
-        jax.config.update("jax_compilation_cache_dir", str(Path.home() / ".jax_cache"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-    except Exception:
-        pass
+    from probabilistic_point_clouds_registration_tpu.utils.compile_cache import (
+        enable_persistent_compilation_cache,
+    )
+
+    enable_persistent_compilation_cache()
 
     pair_seconds = measure(args.points, args.iters, args.repeats)
     pairs_per_s = 1.0 / pair_seconds

@@ -27,7 +27,11 @@ def main():
     ap.add_argument("--calib", default=None)
     ap.add_argument("--n_scans", type=int, default=6, help="synthetic sequence length")
     ap.add_argument("--points", type=int, default=20_000)
-    ap.add_argument("--radius", type=float, default=0.1)
+    ap.add_argument(
+        "--radius", type=float, default=None,
+        help="search radius; defaults to 0.1 for the synthetic fixture and "
+             "3.0 (the reference CLI default) for real meter-scale datasets",
+    )
     ap.add_argument("--backend", default=None)
     args = ap.parse_args()
     if args.backend:
@@ -64,9 +68,10 @@ def main():
         scans, gt_poses = synthetic_sequence(args.n_scans, args.points)
         label = "sequence:synthetic"
 
+    radius = args.radius if args.radius is not None else (3.0 if args.scans else 0.1)
     params = RegistrationParams(
         max_neighbours=20,
-        radius=args.radius,
+        radius=radius,
         n_iter=12,
         cost_drop_thresh=0.005,
         dtype="float32",
@@ -78,6 +83,7 @@ def main():
 
     record = {
         "config": label,
+        "radius": radius,
         "metric": "scan_pairs_per_s",
         "value": round(n_pairs / seconds, 4),
         "unit": "pairs/s",

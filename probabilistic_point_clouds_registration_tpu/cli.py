@@ -91,10 +91,11 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
-    if args.backend:
+    if args.backend or args.dtype == "float64":
         import jax
 
-        jax.config.update("jax_platforms", args.backend)
+        if args.backend:
+            jax.config.update("jax_platforms", args.backend)
         if args.dtype == "float64":
             jax.config.update("jax_enable_x64", True)
 

@@ -58,10 +58,11 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
-    if args.backend:
+    if args.backend or args.dtype == "float64":
         import jax
 
-        jax.config.update("jax_platforms", args.backend)
+        if args.backend:
+            jax.config.update("jax_platforms", args.backend)
         if args.dtype == "float64":
             jax.config.update("jax_enable_x64", True)
 
@@ -71,7 +72,9 @@ def main(argv=None) -> int:
 
         scans = sorted(scan_dir.glob("*.pcd")) or list_velodyne_scans(scan_dir)
     else:
-        scans = sorted(Path(".").glob(args.scan_dir))
+        import glob as _glob  # stdlib glob handles absolute patterns
+
+        scans = sorted(Path(p) for p in _glob.glob(args.scan_dir))
     if args.max_scans:
         scans = scans[: args.max_scans]
     if len(scans) < 2:

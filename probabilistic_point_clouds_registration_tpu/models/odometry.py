@@ -84,6 +84,9 @@ def save_checkpoint(path: Union[str, Path], result: OdometryResult) -> None:
         "poses": [p.tolist() for p in result.poses],
         "relative_transforms": [t.tolist() for t in result.relative_transforms],
         "per_pair_cost": result.per_pair_cost,
+        # Reports persist too so reports[i] stays aligned with
+        # relative_transforms[i] across resume.
+        "reports": result.reports,
     }
     tmp = path.with_suffix(path.suffix + ".tmp")
     tmp.write_text(json.dumps(payload))
@@ -105,6 +108,7 @@ def load_checkpoint(path: Union[str, Path]) -> Optional[OdometryResult]:
             np.asarray(t, dtype=np.float64) for t in payload["relative_transforms"]
         ],
         per_pair_cost=list(payload["per_pair_cost"]),
+        reports=list(payload.get("reports", [])),
     )
 
 
@@ -149,30 +153,30 @@ def run_odometry(
     from ..io.prefetch import ScanPrefetcher
 
     start_pair = len(result.relative_transforms)
-    prefetcher = ScanPrefetcher(scans)
-    prev_scan = prefetcher.get(start_pair) if start_pair < n_scans - 1 else None
+    with ScanPrefetcher(scans) as prefetcher:
+        prev_scan = prefetcher.get(start_pair) if start_pair < n_scans - 1 else None
 
-    for i in range(start_pair, n_scans - 1):
-        # Overlaps the next scans' disk read/decompress with device compute.
-        source = prefetcher.get(i + 1)
-        target = prev_scan if prev_scan is not None else prefetcher.get(i)
-        out << f"[pair {i}] registering scan {i + 1} ({source.shape[0]} pts) onto scan {i} ({target.shape[0]} pts)\n"
+        for i in range(start_pair, n_scans - 1):
+            # Overlaps the next scans' disk read/decompress with device compute.
+            source = prefetcher.get(i + 1)
+            target = prev_scan if prev_scan is not None else prefetcher.get(i)
+            out << f"[pair {i}] registering scan {i + 1} ({source.shape[0]} pts) onto scan {i} ({target.shape[0]} pts)\n"
 
-        reg = ProbabilisticRegistration(source, target, params)
-        t_rel = reg.align()
+            reg = ProbabilisticRegistration(source, target, params)
+            t_rel = reg.align()
 
-        pose = result.poses[-1] @ t_rel
-        result.relative_transforms.append(t_rel)
-        result.poses.append(pose)
-        result.per_pair_cost.append(
-            result_final_cost(reg) if reg.records else float("nan")
-        )
-        result.reports.append(reg.report())
+            pose = result.poses[-1] @ t_rel
+            result.relative_transforms.append(t_rel)
+            result.poses.append(pose)
+            result.per_pair_cost.append(
+                result_final_cost(reg) if reg.records else float("nan")
+            )
+            result.reports.append(reg.report())
 
-        if checkpoint_path is not None:
-            save_checkpoint(checkpoint_path, result)
-        if on_pair is not None:
-            on_pair(i, pose)
-        prev_scan = source  # next pair's target is this (unmoved) scan
+            if checkpoint_path is not None:
+                save_checkpoint(checkpoint_path, result)
+            if on_pair is not None:
+                on_pair(i, pose)
+            prev_scan = source  # next pair's target is this (unmoved) scan
 
     return result

@@ -49,8 +49,9 @@ def _match_vma(x, *refs):
 
 def _pairwise_sq_dists(src: jnp.ndarray, tgt: jnp.ndarray) -> jnp.ndarray:
     """(S, T) squared distances via the matmul expansion (MXU-friendly)."""
-    # preferred_element_type keeps f32 accumulation even if inputs are bf16.
-    cross = jnp.dot(src, tgt.T, preferred_element_type=src.dtype)
+    # Accumulate in at least f32 even for bf16 inputs (f64 stays f64).
+    acc = jnp.promote_types(src.dtype, jnp.float32)
+    cross = jnp.dot(src, tgt.T, preferred_element_type=acc).astype(src.dtype)
     s2 = jnp.sum(src * src, axis=-1, keepdims=True)
     t2 = jnp.sum(tgt * tgt, axis=-1)[None, :]
     return jnp.maximum(s2 + t2 - 2.0 * cross, 0.0)

@@ -37,6 +37,8 @@ def initialize_multihost(
         return True  # already initialized
     addr = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
     nproc = num_processes or os.environ.get("JAX_NUM_PROCESSES")
+    if process_id is None and "JAX_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["JAX_PROCESS_ID"])
     if addr is None and nproc is None and "TPU_WORKER_HOSTNAMES" not in os.environ:
         return False
     jax.distributed.initialize(

@@ -42,12 +42,19 @@ def _nn_sq_dists(cloud1, cloud2) -> np.ndarray:
 
 
 def _reference_median(values: np.ndarray) -> float:
-    """The reference's (off-by-one) median (utilities.hpp:83-88)."""
+    """The reference's (off-by-one) median (utilities.hpp:83-88).
+
+    The reference's indexing is out-of-bounds UB in C++ for n <= 2; here the
+    indices are clamped so tiny inputs return a sane value instead of
+    crashing (n >= 3 reproduces the reference exactly).
+    """
     v = np.sort(np.asarray(values, dtype=np.float64))
     n = v.shape[0]
+    if n == 0:
+        return float("nan")
     if n % 2 != 0:
-        return float(v[(n + 1) // 2])
-    return float((v[n // 2] + v[n // 2 + 1]) / 2.0)
+        return float(v[min((n + 1) // 2, n - 1)])
+    return float((v[n // 2] + v[min(n // 2 + 1, n - 1)]) / 2.0)
 
 
 def average_closest_distance(cloud1, cloud2) -> float:

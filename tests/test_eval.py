@@ -59,3 +59,18 @@ def test_ate_rmse():
         m[0, 3] = d
         t2.append(m)
     assert np.isclose(ev.ate_rmse(t1, t2), np.sqrt((0 + 9 + 16) / 3))
+
+
+def test_reference_median_small_inputs():
+    """Reference's median is UB for n<=2 in C++; here it's clamped, not a crash."""
+    from probabilistic_point_clouds_registration_tpu.utils.eval import (
+        _reference_median,
+    )
+    import numpy as np
+
+    assert _reference_median([5.0]) == 5.0
+    assert _reference_median([1.0, 3.0]) == 3.0  # clamped upper index
+    assert np.isnan(_reference_median([]))
+    # n >= 3 keeps the reference's off-by-one behaviour.
+    assert _reference_median([1.0, 2.0, 3.0]) == 3.0
+    assert _reference_median([1.0, 2.0, 3.0, 4.0]) == 3.5

@@ -135,3 +135,15 @@ def test_prefetcher_loads_in_order(tmp_path):
     with ScanPrefetcher(paths, depth=2) as pf:
         for i in range(5):
             np.testing.assert_allclose(pf.get(i), arrays[i], atol=1e-6)
+
+
+def test_resume_preserves_report_alignment(tmp_path):
+    """reports[i] must stay aligned with relative_transforms[i] across resume."""
+    scans, _ = _sequence(4)
+    ckpt = tmp_path / "traj.json"
+    partial = run_odometry(scans[:3], PARAMS, checkpoint_path=ckpt)
+    assert len(partial.reports) == 2
+    full = run_odometry(scans, PARAMS, checkpoint_path=ckpt)
+    assert len(full.reports) == len(full.relative_transforms) == 3
+    # The first two reports came through the checkpoint.
+    assert full.reports[0] == partial.reports[0]
