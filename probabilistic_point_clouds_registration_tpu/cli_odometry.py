@@ -49,6 +49,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Limit the number of scans (debug / benchmarking)")
     p.add_argument("--no_resume", action="store_true",
                    help="Ignore an existing checkpoint and start over")
+    p.add_argument("--pose_graph", action="store_true",
+                   help="After odometry: detect loop closures and refine the "
+                        "trajectory with a pose-graph solve")
+    p.add_argument("--closure_distance", type=float, default=1.0,
+                   help="Max estimated-position distance for closure candidates")
+    p.add_argument("--closure_min_gap", type=int, default=5,
+                   help="Min scan-index gap for closure candidates")
     p.add_argument("--dtype", default="float32", choices=["float32", "float64"])
     p.add_argument("--backend", default=None,
                    help="JAX platform override (e.g. cpu) for local runs")
@@ -103,6 +110,25 @@ def main(argv=None) -> int:
     result = run_odometry(scans, params, checkpoint_path=ckpt)
     print(f"Trajectory written to {ckpt} ({len(result.poses)} poses)")
 
+    poses = result.poses
+    if args.pose_graph:
+        from .models.loop_closure import detect_loop_closures, refine_trajectory
+
+        closures = detect_loop_closures(
+            scans, result, params,
+            max_distance=args.closure_distance,
+            min_index_gap=args.closure_min_gap,
+            verbose=args.verbose,
+        )
+        print(f"Detected {len(closures)} loop closures")
+        if closures:
+            poses, cost = refine_trajectory(result, closures)
+            refined_path = ckpt.with_name(ckpt.stem + "_refined" + ckpt.suffix)
+            refined_path.write_text(
+                json.dumps({"poses": [p.tolist() for p in poses]})
+            )
+            print(f"Refined trajectory written to {refined_path} (cost {cost:.4g})")
+
     if args.ground_truth:
         # Dispatch by content, not filename: JSON trajectories keep working
         # whatever they are called; anything else is the KITTI pose format.
@@ -122,8 +148,8 @@ def main(argv=None) -> int:
         # Anchor both trajectories at the first pose (odometry starts at I).
         gt0 = np.linalg.inv(gt_poses[0])
         gt_poses = [gt0 @ p for p in gt_poses]
-        n = min(len(gt_poses), len(result.poses))
-        rmse = ate_rmse(result.poses[:n], gt_poses[:n])
+        n = min(len(gt_poses), len(poses))
+        rmse = ate_rmse(poses[:n], gt_poses[:n])
         print(f"ATE RMSE vs ground truth over {n} poses: {rmse}")
     return 0
 
