@@ -39,18 +39,19 @@ def _ate(a, b):
 
 def test_batched_matches_sequential():
     scans, gt = _sequence(4)
-    cfg = LMConfig(dof=5.0, max_iterations=40)
+    cfg = LMConfig(dof=5.0, max_iterations=25)
     poses_b, result = run_odometry_batched(
-        scans, k=10, radius=1.0, lm_config=cfg, n_outer=10,
+        scans, k=10, radius=1.0, lm_config=cfg, n_outer=6,
         pad_multiple=128, dtype="float64",
     )
-    assert result.initial_costs.shape == (3, 10)
+    assert result.initial_costs.shape == (3, 6)
     assert _ate(poses_b, gt) < 0.03
 
     seq = run_odometry(
         scans,
-        RegistrationParams(max_neighbours=10, radius=1.0, n_iter=10,
-                           cost_drop_thresh=-1.0, dtype="float64"),
+        RegistrationParams(max_neighbours=10, radius=1.0, n_iter=6,
+                           cost_drop_thresh=-1.0, dtype="float64",
+                           max_inner_iterations=25),
     )
     # Same relative transforms to solver precision.
     for a, b in zip(poses_b, seq.poses):
@@ -60,16 +61,16 @@ def test_batched_matches_sequential():
 def test_batched_sharded_over_mesh():
     scans, gt = _sequence(5)  # 4 pairs -> padded to 8 across the mesh
     mesh = make_mesh(n_points_shards=8, n_target_shards=1)
-    cfg = LMConfig(dof=5.0, max_iterations=40)
+    cfg = LMConfig(dof=5.0, max_iterations=25)
     poses, result = run_odometry_batched(
-        scans, k=10, radius=1.0, lm_config=cfg, n_outer=10,
+        scans, k=10, radius=1.0, lm_config=cfg, n_outer=6,
         pad_multiple=128, mesh=mesh, dtype="float64",
     )
     assert len(poses) == 5
     assert _ate(poses, gt) < 0.03
     # Unsharded reference.
     poses_ref, _ = run_odometry_batched(
-        scans, k=10, radius=1.0, lm_config=cfg, n_outer=10,
+        scans, k=10, radius=1.0, lm_config=cfg, n_outer=6,
         pad_multiple=128, dtype="float64",
     )
     for a, b in zip(poses, poses_ref):
