@@ -51,7 +51,12 @@ def main():
                 pad_multiple=1024, mesh=mesh,
             )
             seconds = time.perf_counter() - t0
-        rate = args.pairs / seconds
+        # The batched engine pads the pair batch to a multiple of the device
+        # count with dummy self-pairs that do full work — rate over the
+        # *padded* count is the machine's real throughput (the requested
+        # count would understate it whenever pairs % devices != 0).
+        padded_pairs = -(-args.pairs // d) * d
+        rate = padded_pairs / seconds
         if base_rate is None:
             base_rate = rate
         emit(

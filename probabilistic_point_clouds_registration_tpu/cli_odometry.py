@@ -56,6 +56,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Max estimated-position distance for closure candidates")
     p.add_argument("--closure_min_gap", type=int, default=5,
                    help="Min scan-index gap for closure candidates")
+    p.add_argument("--closure_max_mean_cost", type=float, default=None,
+                   help="Max final cost per source point to accept a closure "
+                        "(default 0.5 * radius^2; 'inf' disables)")
+    p.add_argument("--closure_min_corr", type=float, default=1.0,
+                   help="Min average correspondences per source point to "
+                        "accept a closure (rejects non-overlapping pairs)")
+    p.add_argument("--closure_max_alignment", type=float, default=3.0,
+                   help="Max residual misalignment of an accepted closure, "
+                        "in multiples of the target's median point spacing")
     p.add_argument("--dtype", default="float32", choices=["float32", "float64"])
     p.add_argument("--backend", default=None,
                    help="JAX platform override (e.g. cpu) for local runs")
@@ -118,6 +127,9 @@ def main(argv=None) -> int:
             scans, result, params,
             max_distance=args.closure_distance,
             min_index_gap=args.closure_min_gap,
+            max_mean_cost=args.closure_max_mean_cost,
+            min_correspondences_per_point=args.closure_min_corr,
+            max_alignment_ratio=args.closure_max_alignment,
             verbose=args.verbose,
         )
         print(f"Detected {len(closures)} loop closures")

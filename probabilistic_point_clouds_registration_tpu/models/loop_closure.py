@@ -28,6 +28,37 @@ from .pose_graph import PoseGraphConfig, odometry_edges, optimize_pose_graph
 from .registration import ProbabilisticRegistration
 
 
+def _alignment_ratio(
+    aligned_src: np.ndarray, tgt: np.ndarray, sample: int = 2048
+) -> float:
+    """Residual misalignment in units of the target's own point spacing.
+
+    Numerator: median NN distance of a (subsampled) aligned source into the
+    target. Denominator: the target's median point spacing, estimated by
+    matching an even-index sample against the odd-index half (self-matches
+    excluded by construction). Subsampling keeps the host-side brute-force
+    NN cost bounded for sequence-scale scans.
+    """
+    from ..utils.eval import median_closest_distance
+
+    rng = np.random.default_rng(0)
+    src = np.asarray(aligned_src, dtype=np.float64)
+    tgt = np.asarray(tgt, dtype=np.float64)
+    if src.shape[0] > sample:
+        src = src[rng.choice(src.shape[0], sample, replace=False)]
+    tgt_ref = tgt
+    if tgt_ref.shape[0] > 8 * sample:
+        tgt_ref = tgt_ref[rng.choice(tgt_ref.shape[0], 8 * sample, replace=False)]
+    d_align = median_closest_distance(src, tgt_ref)
+    even, odd = tgt_ref[0::2], tgt_ref[1::2]
+    if even.shape[0] > sample:
+        even = even[rng.choice(even.shape[0], sample, replace=False)]
+    spacing = median_closest_distance(even, odd)
+    if not np.isfinite(spacing) or spacing <= 0:
+        return float("inf")
+    return float(d_align / spacing)
+
+
 @dataclass
 class LoopClosure:
     i: int
@@ -44,15 +75,36 @@ def detect_loop_closures(
     max_distance: float = 1.0,
     min_index_gap: int = 5,
     max_candidates: int = 10,
-    max_mean_cost: float = float("inf"),
+    max_mean_cost: Optional[float] = None,
+    min_correspondences_per_point: float = 1.0,
+    max_alignment_ratio: float = 3.0,
     verbose: bool = False,
 ) -> List[LoopClosure]:
     """Find and verify loop closures against an estimated trajectory.
 
     Candidates are greedily limited to ``max_candidates`` pairs with the
     largest index gaps (the most drift-informative closures).
+
+    Verification gates (all must pass — a non-overlapping candidate pair
+    under drift yields near-zero correspondences and hence near-zero cost,
+    the strongest *false* acceptance signal, so cost alone cannot gate):
+      * ``min_correspondences_per_point``: the final outer iteration must
+        retain at least this many correspondences per source point on
+        average (k-capped neighbor hits; 0 disables).
+      * ``max_alignment_ratio``: median NN distance of the refined-aligned
+        source into the target, relative to the target's own median point
+        spacing (self-calibrating: a well-registered overlapping pair sits
+        at ~1x spacing whatever the absolute scale; residual misalignment
+        shows up as a multiple of it). 0 or inf disables.
+      * ``max_mean_cost``: final cost per *source point*. A row's cost is
+        bounded by ~``radius**2 / 2`` (posterior weights sum to ~1 per
+        row); the default ``0.5 * radius**2`` rejects solves whose weights
+        are smeared to the radius rim (no alignment signal at all) while
+        staying geometry-independent. ``float('inf')`` disables.
     """
     params = params or RegistrationParams()
+    if max_mean_cost is None:
+        max_mean_cost = 0.5 * params.radius**2
     out = OutputStream(verbose)
     positions = np.stack([p[:3, 3] for p in result.poses])
     n = positions.shape[0]
@@ -88,13 +140,29 @@ def detect_loop_closures(
         reg = ProbabilisticRegistration(moved, tgt, params)
         t_refine = reg.align()
         rel = t_refine @ predicted
+        n_src = max(reg._n_src, 1)
+        n_corr = reg.records[-1].num_correspondences if reg.records else 0
         mean_cost = (
-            reg.records[-1].final_cost / max(reg.records[-1].num_correspondences, 1)
-            if reg.records
-            else float("inf")
+            reg.records[-1].final_cost / n_src if reg.records else float("inf")
         )
-        if mean_cost <= max_mean_cost:
-            out << f"loop closure {i} <- {j}: mean cost {mean_cost:.3g}\n"
+        corr_per_point = n_corr / n_src
+        if corr_per_point < min_correspondences_per_point:
+            out << (
+                f"rejected closure {i} <- {j}: only {corr_per_point:.2f} "
+                f"correspondences/point (no overlap)\n"
+            )
+            continue
+        ratio = _alignment_ratio(moved @ t_refine[:3, :3].T + t_refine[:3, 3], tgt)
+        if 0 < max_alignment_ratio < float("inf") and ratio > max_alignment_ratio:
+            out << (
+                f"rejected closure {i} <- {j}: residual misalignment "
+                f"{ratio:.2f}x target point spacing\n"
+            )
+        elif mean_cost <= max_mean_cost:
+            out << (
+                f"loop closure {i} <- {j}: mean cost {mean_cost:.3g}, "
+                f"alignment {ratio:.2f}x spacing\n"
+            )
             closures.append(
                 LoopClosure(i=i, j=j, relative_transform=rel, mean_cost=mean_cost)
             )

@@ -51,7 +51,9 @@ int pcr_lzf_decompress(const uint8_t* in, uint64_t in_len, uint8_t* out,
       o += len;
     }
   }
-  return (o == out_len && i == in_len) ? 0 : -6;
+  // Tolerate trailing input once the expected output is complete — the
+  // Python fallback stops at out_len too, so behavior is toolchain-independent.
+  return (o == out_len) ? 0 : -6;
 }
 
 // Greedy hash-chain LZF encoder (liblzf-style parameters, written fresh).

@@ -57,3 +57,22 @@ def test_detect_and_refine_reduces_drift():
     drift_after = np.linalg.norm(refined[-1][:3, 3] - gt[-1][:3, 3])
     assert np.isfinite(cost)
     assert drift_after < 0.6 * drift_before, (drift_before, drift_after)
+
+
+def test_non_overlapping_candidate_rejected():
+    """A candidate pair with no overlap (the drift failure mode) must NOT be
+    accepted: zero correspondences means zero cost — the strongest false
+    acceptance signal if cost were the only gate."""
+    world = wave_grid()
+    far = world + np.array([100.0, 0.0, 0.0])  # disjoint scene
+    scans = [world, world + 0.0, far]
+    # Estimated poses (wrongly) claim scan 2 is back at the origin, making
+    # (0, 2) a closure candidate despite zero actual overlap.
+    poses = [np.eye(4), np.eye(4), np.eye(4)]
+    rels = [np.eye(4), np.eye(4)]
+    result = OdometryResult(poses=poses, relative_transforms=rels)
+    params = RegistrationParams(max_neighbours=10, radius=1.0, n_iter=4)
+    closures = detect_loop_closures(
+        scans, result, params, max_distance=0.5, min_index_gap=2,
+    )
+    assert all(not (c.i == 0 and c.j == 2) for c in closures)
