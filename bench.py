@@ -65,6 +65,9 @@ def run_once(src, tgt, n_iter: int):
         dtype="float32",
         pad_multiple=1024,
         max_inner_iterations=50,
+        # One device program for the whole fixed-iteration pair: a tunneled
+        # chip pays ~60-90 ms of host sync per chunk boundary.
+        outer_chunk=n_iter,
     )
     # End-to-end pair time includes construction: voxel/grid build and the
     # host->device upload are real per-pair costs in sequence odometry.

@@ -161,9 +161,9 @@ def main(argv=None) -> int:
     if args.verbose:
         print("Transformation history:")
         for trans in registration.transformation_history:
-            from .core.se3 import matrix_to_quat
+            from .core.se3 import np_matrix_to_quat
 
-            q = np.asarray(matrix_to_quat(trans[:3, :3]))
+            q = np_matrix_to_quat(trans[:3, :3])
             t = trans[:3, 3]
             # Reference prints x, y, z, w order (..._ex.cc:156-159).
             print(

@@ -183,6 +183,60 @@ def se3_from_matrix(m) -> SE3:
 
 
 # ---------------------------------------------------------------------------
+# Host-side (numpy) variants of the hot outer-loop composition math.
+#
+# The outer registration loop composes 4x4 f64 transforms on the HOST between
+# device chunks (models/registration.py). Calling the jitted jnp helpers there
+# dispatches a tiny program to the (possibly remote/tunneled) accelerator and
+# costs a full roundtrip (~45 ms measured on the tunneled v5e) PER OUTER
+# ITERATION — these numpy twins are semantically identical and free.
+# ---------------------------------------------------------------------------
+
+
+def np_matrix_to_quat(m: np.ndarray) -> np.ndarray:
+    """Numpy twin of :func:`matrix_to_quat` (Shepperd pivot, w >= 0)."""
+    m = np.asarray(m, dtype=np.float64)
+    m00, m01, m02 = m[0]
+    m10, m11, m12 = m[1]
+    m20, m21, m22 = m[2]
+    tr = m00 + m11 + m22
+    pivots = np.array(
+        [1.0 + tr, 1.0 + m00 - m11 - m22, 1.0 - m00 + m11 - m22, 1.0 - m00 - m11 + m22]
+    )
+    cands = np.array(
+        [
+            [1.0 + tr, m21 - m12, m02 - m20, m10 - m01],
+            [m21 - m12, 1.0 + m00 - m11 - m22, m01 + m10, m02 + m20],
+            [m02 - m20, m01 + m10, 1.0 - m00 + m11 - m22, m12 + m21],
+            [m10 - m01, m02 + m20, m12 + m21, 1.0 - m00 - m11 + m22],
+        ]
+    )
+    q = cands[int(np.argmax(pivots))]
+    q = q / np.linalg.norm(q)
+    return -q if q[0] < 0 else q
+
+
+def np_quat_to_matrix(q: np.ndarray) -> np.ndarray:
+    """Numpy twin of :func:`quat_to_matrix` for a unit quaternion (w,x,y,z)."""
+    w, x, y, z = np.asarray(q, dtype=np.float64)
+    return np.array(
+        [
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+        ]
+    )
+
+
+def np_se3_matrix(q: np.ndarray, t: np.ndarray) -> np.ndarray:
+    """4x4 homogeneous matrix from a (normalized) quaternion + translation."""
+    out = np.eye(4)
+    out[:3, :3] = np_quat_to_matrix(q)
+    out[:3, 3] = np.asarray(t, dtype=np.float64)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Euler-angle conventions (report + parameter parity with the reference)
 # ---------------------------------------------------------------------------
 

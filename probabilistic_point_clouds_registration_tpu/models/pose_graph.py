@@ -173,13 +173,13 @@ def optimize_pose_graph(
 
     Returns (refined 4x4 poses, final cost). Pose 0 is held fixed (gauge).
     """
-    from ..core.se3 import matrix_to_quat
+    from ..core.se3 import np_matrix_to_quat
 
-    base_q = jnp.stack([jnp.asarray(matrix_to_quat(p[:3, :3])) for p in poses])
+    base_q = jnp.asarray(np.stack([np_matrix_to_quat(p[:3, :3]) for p in poses]))
     base_t = jnp.asarray(np.stack([p[:3, 3] for p in poses]))
     ei = jnp.asarray(np.array([e[0] for e in edges], dtype=np.int32))
     ej = jnp.asarray(np.array([e[1] for e in edges], dtype=np.int32))
-    rq = jnp.stack([jnp.asarray(matrix_to_quat(e[2][:3, :3])) for e in edges])
+    rq = jnp.asarray(np.stack([np_matrix_to_quat(e[2][:3, :3]) for e in edges]))
     rt = jnp.asarray(np.stack([e[2][:3, 3] for e in edges]))
     w = jnp.asarray(
         np.ones(len(edges)) if weights is None else np.asarray(weights, np.float64)

@@ -42,12 +42,11 @@ import numpy as np
 
 from ..core.params import RegistrationParams
 from ..core.se3 import (
-    SE3,
     matrix_euler_xyz,
-    matrix_to_quat,
+    np_matrix_to_quat,
+    np_se3_matrix,
     quat_multiply,
     quat_normalize,
-    se3_to_matrix,
     unit_quat_rotate,
 )
 from ..core.types import pad_cloud, valid_mask
@@ -346,39 +345,68 @@ class ProbabilisticRegistration:
             self.out << f"Initial MSE w.r.t. ground truth: {self.mse_ground_truth}\n"
 
         # Device-resident padded arrays (static shapes; compiled once).
+        # Everything is staged in host numpy first and shipped in ONE
+        # jax.device_put of the whole bundle — per-array uploads each pay a
+        # dispatch/roundtrip on a tunneled chip (~100 ms of ctor time before).
         pad = params.pad_multiple
         fs, self._n_src = pad_cloud(self.filtered_source, pad, pad_value=0.0)
         tg, self._n_tgt = pad_cloud(self.target_cloud, pad, pad_value=0.0)
-        self._filtered_src_dev = jnp.asarray(fs, dtype=self.dtype)
-        self._target_dev = jnp.asarray(tg, dtype=self.dtype)
-        self._src_valid = valid_mask(fs.shape[0], self._n_src)
-        self._tgt_valid = valid_mask(tg.shape[0], self._n_tgt)
+        np_dtype = np.dtype(params.dtype)
+        bundle = {
+            "src": fs.astype(np_dtype),
+            "tgt": tg.astype(np_dtype),
+            "src_valid": np.arange(fs.shape[0]) < self._n_src,
+            "tgt_valid": np.arange(tg.shape[0]) < self._n_tgt,
+        }
 
         # Build the target hash grid once (search_impl "auto"/"grid"); None
         # keeps the brute-force streaming engine.
-        self._grid = None
+        grid = None
         if params.search_impl in ("auto", "grid"):
-            from ..ops.grid import build_grid
+            from ..ops.grid import build_grid_host
 
-            grid = build_grid(tg, params.radius, num_valid=self._n_tgt)
+            grid = build_grid_host(tg, params.radius, num_valid=self._n_tgt)
             if (
                 grid is not None
                 and params.search_impl == "auto"
-                and 27 * grid.capacity * 8 > self._n_tgt
+                and 27 * grid["capacity"] * 8 > self._n_tgt
             ):
                 # Candidate set too close to M: the streaming brute-force
                 # engine's MXU distance tiles beat the grid's random gathers
                 # at this density (measured ~12x per-candidate cost ratio).
                 grid = None
             if grid is not None:
-                self._grid = grid._replace(
-                    bucket_pts=jnp.asarray(grid.bucket_pts, dtype=self.dtype),
-                    origin=jnp.asarray(grid.origin, dtype=self.dtype),
-                )
-                self.out << (
-                    f"Target grid: {grid.cell_ids.shape[0]} occupied cells, "
-                    f"capacity {grid.capacity}\n"
-                )
+                bundle["grid"] = {
+                    k: v for k, v in grid.items() if isinstance(v, np.ndarray)
+                }
+                bundle["grid"]["bucket_pts"] = grid["bucket_pts"].astype(np_dtype)
+                bundle["grid"]["origin"] = grid["origin"].astype(np_dtype)
+
+        dev = jax.device_put(bundle)
+        self._filtered_src_dev = dev["src"]
+        self._target_dev = dev["tgt"]
+        self._src_valid = dev["src_valid"]
+        self._tgt_valid = dev["tgt_valid"]
+        self._grid = None
+        if grid is not None:
+            from ..ops.grid import HashGrid
+
+            g = dev["grid"]
+            self._grid = HashGrid(
+                bucket_pts=g["bucket_pts"],
+                bucket_idx=g["bucket_idx"],
+                cell_ids=g["cell_ids"],
+                capacity=grid["capacity"],
+                origin=g["origin"],
+                dims=g["dims"],
+                cell_size=grid["cell_size"],
+                num_valid=grid["num_valid"],
+                lut=g.get("lut"),
+            )
+            self.out << (
+                f"Target grid: {self._grid.cell_ids.shape[0]} occupied cells, "
+                f"capacity {self._grid.capacity}\n"
+            )
 
         self._lm_config = LMConfig(
             dof=params.dof,
@@ -425,13 +453,12 @@ class ProbabilisticRegistration:
         p = self.params
         t_cum = self.transformation()
         # Incremental transform of this iteration (iteration.hpp:59-67:
-        # quaternion normalized on extraction).
+        # quaternion normalized on extraction). Host numpy math — a jnp call
+        # here would cost a device roundtrip per outer iteration.
         q = np.asarray(q_raw, dtype=np.float64)
         q = q / np.linalg.norm(q)
         t = np.asarray(t_raw, dtype=np.float64)
-        delta = np.asarray(
-            se3_to_matrix(SE3(q=jnp.asarray(q), t=jnp.asarray(t))), dtype=np.float64
-        )
+        delta = np_se3_matrix(q, t)
         current = delta @ t_cum  # left-compose (cc:101-107)
         self.transformation_history.append(current)
 
@@ -484,7 +511,7 @@ class ProbabilisticRegistration:
                 break
             iter_start = time.perf_counter()
             t_cum = self.transformation()
-            q_cum = jnp.asarray(matrix_to_quat(t_cum[:3, :3]), dtype=self.dtype)
+            q_cum = jnp.asarray(np_matrix_to_quat(t_cum[:3, :3]), dtype=self.dtype)
             t_cum_dev = jnp.asarray(t_cum[:3, 3], dtype=self.dtype)
             if self._grid is not None and chunk > 1:
                 g = self._grid

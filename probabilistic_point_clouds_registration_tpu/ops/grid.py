@@ -85,12 +85,17 @@ def _quantize_capacity(cap: int) -> int:
     return max(8, 1 << (cap - 1).bit_length())
 
 
-def build_grid(target: np.ndarray, cell_size: float, *, num_valid: int | None = None):
-    """Build a :class:`HashGrid` over the (optionally padded) target cloud.
+def build_grid_host(
+    target: np.ndarray, cell_size: float, *, num_valid: int | None = None
+) -> dict | None:
+    """Host-side grid build: all-numpy, no device transfers.
 
-    Returns None when a grid would be invalid or useless: degenerate cell
-    size, a grid whose linear id overflows int32, or occupancy so high that
-    27 * capacity >= M (brute force is cheaper).
+    Returns a dict with the :class:`HashGrid` fields (arrays as numpy) so the
+    caller can batch the upload with other arrays in one ``jax.device_put``
+    (per-array uploads each cost a roundtrip on a tunneled chip), or None when
+    a grid would be invalid or useless: degenerate cell size, a grid whose
+    linear id overflows int32, or occupancy so high that 27 * capacity >= M
+    (brute force is cheaper).
     """
     target = np.asarray(target, dtype=np.float64)
     m_total = target.shape[0]
@@ -125,22 +130,41 @@ def build_grid(target: np.ndarray, cell_size: float, *, num_valid: int | None = 
     bucket_pts[live] = pts[bucket_idx[live]]
 
     dims_prod = int(dims[0]) * int(dims[1]) * int(dims[2])
-    lut = None
+    out = {
+        "bucket_pts": bucket_pts,
+        "bucket_idx": bucket_idx,
+        "cell_ids": cell_ids.astype(np.int32),
+        "capacity": capacity,
+        "origin": origin,
+        "dims": dims.astype(np.int32),
+        "cell_size": float(cell_size),
+        "num_valid": n,
+    }
     if dims_prod <= _MAX_DENSE_LUT_CELLS:
         lut_np = np.full((dims_prod,), -1, dtype=np.int32)
         lut_np[cell_ids] = np.arange(u, dtype=np.int32)
-        lut = jnp.asarray(lut_np)
+        out["lut"] = lut_np
+    return out
 
+
+def build_grid(target: np.ndarray, cell_size: float, *, num_valid: int | None = None):
+    """Build a :class:`HashGrid` (device arrays) over the target cloud.
+
+    See :func:`build_grid_host` for the build itself and the None conditions.
+    """
+    g = build_grid_host(target, cell_size, num_valid=num_valid)
+    if g is None:
+        return None
     return HashGrid(
-        bucket_pts=jnp.asarray(bucket_pts),
-        bucket_idx=jnp.asarray(bucket_idx),
-        cell_ids=jnp.asarray(cell_ids.astype(np.int32)),
-        capacity=capacity,
-        origin=jnp.asarray(origin),
-        dims=jnp.asarray(dims.astype(np.int32)),
-        cell_size=float(cell_size),
-        num_valid=n,
-        lut=lut,
+        bucket_pts=jnp.asarray(g["bucket_pts"]),
+        bucket_idx=jnp.asarray(g["bucket_idx"]),
+        cell_ids=jnp.asarray(g["cell_ids"]),
+        capacity=g["capacity"],
+        origin=jnp.asarray(g["origin"]),
+        dims=jnp.asarray(g["dims"]),
+        cell_size=g["cell_size"],
+        num_valid=g["num_valid"],
+        lut=jnp.asarray(g["lut"]) if "lut" in g else None,
     )
 
 

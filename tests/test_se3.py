@@ -107,3 +107,26 @@ def test_matrix_euler_xyz_reconstructs_rotation():
             return np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
 
         np.testing.assert_allclose(rx(a0) @ ry(a1) @ _rot_z(a2), R, atol=1e-9)
+
+
+def test_numpy_twins_match_jax():
+    """np_matrix_to_quat / np_quat_to_matrix must agree with the jnp versions
+    (the outer loop uses the numpy twins to avoid device roundtrips)."""
+    import numpy as np
+    from probabilistic_point_clouds_registration_tpu.core import se3
+
+    rng = np.random.default_rng(3)
+    for _ in range(20):
+        q = rng.normal(size=4)
+        q /= np.linalg.norm(q)
+        m_np = se3.np_quat_to_matrix(q)
+        m_jax = np.asarray(se3.quat_to_matrix(jnp.asarray(q)))
+        np.testing.assert_allclose(m_np, m_jax, atol=1e-12)
+        q_rt = se3.np_matrix_to_quat(m_np)
+        q_jax = np.asarray(se3.matrix_to_quat(jnp.asarray(m_np)))
+        np.testing.assert_allclose(q_rt, q_jax, atol=1e-10)
+        qq = q if q[0] >= 0 else -q
+        np.testing.assert_allclose(q_rt, qq, atol=1e-10)
+        t = rng.normal(size=3)
+        m4 = se3.np_se3_matrix(q, t)
+        assert m4.shape == (4, 4) and np.allclose(m4[:3, 3], t)
