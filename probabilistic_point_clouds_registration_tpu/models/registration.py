@@ -272,6 +272,74 @@ def _registration_scan_grid(
     return outs
 
 
+@partial(
+    jax.jit,
+    static_argnames=("k", "radius", "lm_config", "n_lanes", "chunk", "interpret"),
+)
+def _registration_scan_fused(
+    filtered_source,
+    target,
+    source_valid,
+    cand_xyz,
+    cand_idx,
+    lut_d,
+    origin_d,
+    dims_d,
+    q_cum,
+    t_cum,
+    q0,
+    t0,
+    *,
+    k: int,
+    radius: float,
+    lm_config: LMConfig,
+    n_lanes: int,
+    chunk: int,
+    interpret: bool = False,
+):
+    """``chunk`` outer iterations with the fused grouped Pallas engine
+    (ops/fused_grid.py). Emits a per-iteration overflow count; the host falls
+    back to the XLA grid engine for the pair when any is nonzero."""
+    from ..core.se3 import quat_rotate
+    from ..ops.fused_grid import fused_grid_search
+
+    def step(carry, _):
+        qc, tc = carry
+        moved = quat_rotate(qc, filtered_source) + tc
+        corr, overflow = fused_grid_search(
+            moved,
+            source_valid,
+            cand_xyz,
+            cand_idx,
+            lut_d,
+            origin_d,
+            dims_d,
+            k=k,
+            radius=radius,
+            n_lanes=n_lanes,
+            interpret=interpret,
+        )
+        gathered = target[corr.indices]
+        res = em_lm_solve(moved, gathered, corr.mask, q0, t0, lm_config)
+        qn = quat_normalize(res.q)
+        q_new = quat_multiply(qn, qc)
+        t_new = unit_quat_rotate(qn, tc) + res.t
+        out = (
+            res.q,
+            res.t,
+            res.initial_cost,
+            res.final_cost,
+            res.num_iterations,
+            res.num_successful_steps,
+            jnp.sum(corr.mask),
+            overflow,
+        )
+        return (q_new, t_new), out
+
+    _, outs = jax.lax.scan(step, (q_cum, t_cum), None, length=chunk)
+    return outs
+
+
 @dataclass
 class IterationRecord:
     """One outer-iteration report row (the CSV columns at cc:44-46)."""
@@ -359,10 +427,10 @@ class ProbabilisticRegistration:
             "tgt_valid": np.arange(tg.shape[0]) < self._n_tgt,
         }
 
-        # Build the target hash grid once (search_impl "auto"/"grid"); None
-        # keeps the brute-force streaming engine.
+        # Build the target hash grid once (search_impl "auto"/"grid"/"fused");
+        # None keeps the brute-force streaming engine.
         grid = None
-        if params.search_impl in ("auto", "grid"):
+        if params.search_impl in ("auto", "grid", "fused"):
             from ..ops.grid import build_grid_host
 
             grid = build_grid_host(tg, params.radius, num_valid=self._n_tgt)
@@ -407,6 +475,37 @@ class ProbabilisticRegistration:
                 f"Target grid: {self._grid.cell_ids.shape[0]} occupied cells, "
                 f"capacity {self._grid.capacity}\n"
             )
+
+        # Fused grouped Pallas engine (ops/fused_grid.py): dense scans on TPU.
+        # Gated on the group-padding fit estimated from target occupancy (the
+        # source distribution tracks the target's for overlapping scans); a
+        # runtime overflow flag falls back to the XLA grid engine mid-pair.
+        self._prepack = None
+        self._fused_interpret = False
+        if grid is not None and params.search_impl in ("auto", "fused"):
+            on_tpu = jax.default_backend() == "tpu"
+            want = params.search_impl == "fused" or (
+                params.search_impl == "auto" and on_tpu
+            )
+            if want:
+                from ..ops import fused_grid as _fg
+
+                counts = (grid["bucket_idx"] >= 0).sum(axis=1)
+                est_rows = int(np.ceil(counts / _fg.GROUP).sum()) * _fg.GROUP
+                # Explicit "fused" skips the fit estimate (the runtime
+                # overflow flag still protects correctness).
+                if (
+                    params.search_impl == "fused"
+                    or est_rows <= 1.7 * fs.shape[0]
+                ):
+                    pre = _fg.build_prepack(grid, self._grid)
+                    if pre is not None:
+                        self._prepack = pre
+                        self._fused_interpret = not on_tpu
+                        self.out << (
+                            f"Fused engine: {pre.n_dilated} dilated cells, "
+                            f"{pre.n_lanes} candidate lanes\n"
+                        )
 
         self._lm_config = LMConfig(
             dof=params.dof,
@@ -513,6 +612,52 @@ class ProbabilisticRegistration:
             t_cum = self.transformation()
             q_cum = jnp.asarray(np_matrix_to_quat(t_cum[:3, :3]), dtype=self.dtype)
             t_cum_dev = jnp.asarray(t_cum[:3, 3], dtype=self.dtype)
+            if self._prepack is not None:
+                pre = self._prepack
+                fchunk = max(1, int(p.outer_chunk))
+                outs = _registration_scan_fused(
+                    self._filtered_src_dev,
+                    self._target_dev,
+                    self._src_valid,
+                    pre.cand_xyz,
+                    pre.cand_idx,
+                    pre.lut_d,
+                    pre.origin_d,
+                    pre.dims_d,
+                    q_cum,
+                    t_cum_dev,
+                    q0,
+                    t0,
+                    k=p.max_neighbours,
+                    radius=p.radius,
+                    lm_config=self._lm_config,
+                    n_lanes=pre.n_lanes,
+                    chunk=fchunk,
+                    interpret=self._fused_interpret,
+                )
+                qs, ts, ics, fcs, nits, nsucc, ncorr, ovf = jax.device_get(outs)
+                if int(np.sum(ovf)) > 0:
+                    # Pathologically scattered sources blew the 2N group
+                    # budget: no results were consumed — redo this chunk (and
+                    # the rest of the pair) on the XLA grid engine.
+                    self._prepack = None
+                    self.out << (
+                        "Fused-engine group overflow; falling back to the "
+                        "XLA grid engine for this pair\n"
+                    )
+                    continue
+                per_iter = (time.perf_counter() - iter_start) / fchunk
+                self._process_iteration(
+                    qs[0], ts[0], ics[0], fcs[0], nits[0], nsucc[0], ncorr[0], per_iter
+                )
+                for j in range(1, fchunk):
+                    if self.has_converged():
+                        converged = True
+                        break
+                    self._process_iteration(
+                        qs[j], ts[j], ics[j], fcs[j], nits[j], nsucc[j], ncorr[j], per_iter
+                    )
+                continue
             if self._grid is not None and chunk > 1:
                 g = self._grid
                 outs = _registration_scan_grid(

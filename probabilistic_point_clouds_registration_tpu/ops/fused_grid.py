@@ -1,0 +1,369 @@
+"""Fused grouped grid search: cell-shared candidate windows + Pallas k-select.
+
+The XLA grid engine (ops/grid.py) pays two HBM taxes every outer iteration on
+a dense scan like the 35k bench pair:
+
+  * the candidate gather moves (N, 27, capacity) whole-bucket rows — ~1 GB of
+    768 B-granularity random gathers (~30 ms measured on a v5e), and
+  * ``lax.top_k`` over the (N, 27*capacity) distance matrix (~35 ms) — a
+    20-round min-extraction at HBM bandwidth.
+
+This engine exploits the fact that all sources in the same grid cell share
+the *same* 27-cell candidate neighborhood (the reference's kd-tree pays this
+cost per query instead — src/prob_point_cloud_registration.cc:72-81):
+
+  1. ONCE per pair: prepack, for every cell in the dilated occupied set (any
+     cell adjacent to an occupied target cell — a source anywhere else
+     provably has zero in-radius neighbors), the full 27-neighborhood
+     candidate window as contiguous (3, L) coordinate + (L,) index rows.
+  2. Per iteration (all device-side, inside jit): bucket the moved sources
+     by cell, group same-cell sources into G=8-row blocks (G = the f32
+     sublane count, so the in-kernel candidate broadcast is tile-aligned),
+     gather one prepacked window per *group* (large contiguous rows, ~4x
+     less traffic than per-source gathers), and
+  3. run a Pallas kernel that recomputes distances in VMEM and extracts the
+     k nearest per source with a min-extraction loop that never touches HBM.
+
+Selection semantics are identical to the XLA engines: k smallest f32
+distances within ``radius``, ascending, ties broken by candidate-slot order
+(the same (neighbor-offset, bucket-slot) enumeration), so neighbor sets are
+bit-compatible and tested for parity (tests/test_fused_grid.py).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.types import Correspondences, round_up
+
+# Sources per cell-pure group == f32 sublane count: the in-kernel
+# window-to-rows broadcast then maps exactly onto sublane replication.
+GROUP = 8
+# Groups processed per Pallas grid step (bounds VMEM at ~6 MB/step).
+BLOCK_GROUPS = 16
+# Dead-candidate coordinate sentinel: squared distances overflow any radius.
+_BIG = np.float32(1e30)
+
+
+class PrepackedGrid(NamedTuple):
+    """Per-pair fused-search state (device arrays unless noted).
+
+    Attributes:
+      cand_xyz: (UD+1, 3, L) candidate window coordinates per dilated cell;
+        row UD is the dead window (all slots empty).
+      cand_idx: (UD+1, L) original target index per slot; -1 = empty.
+      lut_d: (prod(dims+2),) extended-grid linear cell id -> dilated row,
+        -1 where a source has provably no neighbors.
+      origin_d: (3,) extended grid origin (origin - cell_size).
+      dims_d: (3,) int32 extended grid dims (dims + 2).
+      n_lanes: static L.
+      n_dilated: static UD.
+      cell_size: static float.
+    """
+
+    cand_xyz: jnp.ndarray
+    cand_idx: jnp.ndarray
+    lut_d: jnp.ndarray
+    origin_d: jnp.ndarray
+    dims_d: jnp.ndarray
+    n_lanes: int
+    n_dilated: int
+    cell_size: float
+
+
+def dilate_cells_host(grid_host: dict) -> dict | None:
+    """Host-side dilation tables for :func:`build_prepack` (numpy only).
+
+    Takes the dict from ops.grid.build_grid_host. Returns None when the
+    extended LUT would be too large to materialize densely (sparse scans
+    stay on the XLA engines).
+    """
+    dims = grid_host["dims"].astype(np.int64)
+    dims_d = dims + 2
+    prod_d = int(dims_d.prod())
+    if prod_d > (1 << 25):
+        return None
+    cell_ids = grid_host["cell_ids"].astype(np.int64)
+    u = cell_ids.shape[0]
+    # Decode occupied cells, dilate by one in every direction (extended
+    # coords = original + 1 so the border ring is addressable).
+    x = cell_ids % dims[0]
+    rest = cell_ids // dims[0]
+    y = rest % dims[1]
+    z = rest // dims[1]
+    offs = np.stack(
+        np.meshgrid(*([np.arange(-1, 2)] * 3), indexing="ij"), -1
+    ).reshape(27, 3)
+    cells = np.stack([x, y, z], -1)
+    dil = (cells[:, None, :] + 1 + offs[None, :, :]).reshape(-1, 3)
+    keep = np.all((dil >= 0) & (dil < dims_d), axis=1)
+    dil = dil[keep]
+    dil_lin = dil[:, 0] + dims_d[0] * (dil[:, 1] + dims_d[1] * dil[:, 2])
+    d_cells = np.unique(dil_lin)
+    ud = d_cells.shape[0]
+
+    lut_d = np.full((prod_d,), -1, dtype=np.int32)
+    lut_d[d_cells] = np.arange(ud, dtype=np.int32)
+
+    # Original-grid row of each of the 27 neighbors of each dilated cell.
+    dx = d_cells % dims_d[0]
+    drest = d_cells // dims_d[0]
+    dy = drest % dims_d[1]
+    dz = drest // dims_d[1]
+    dc = np.stack([dx, dy, dz], -1) - 1  # back to original coords
+    nb = dc[:, None, :] + offs[None, :, :]  # (UD, 27, 3)
+    inb = np.all((nb >= 0) & (nb < dims), axis=-1)
+    nb_safe = np.clip(nb, 0, dims - 1)
+    nb_lin = nb_safe[..., 0] + dims[0] * (nb_safe[..., 1] + dims[1] * nb_safe[..., 2])
+    if "lut" in grid_host:
+        nrows = np.where(inb, grid_host["lut"][nb_lin], -1).astype(np.int32)
+    else:
+        pos = np.searchsorted(cell_ids, nb_lin)
+        pos = np.minimum(pos, u - 1)
+        hit = inb & (cell_ids[pos] == nb_lin)
+        nrows = np.where(hit, pos, -1).astype(np.int32)
+    return {
+        "nrows": nrows,  # (UD, 27) int32
+        "lut_d": lut_d,
+        "dims_d": dims_d.astype(np.int32),
+        "origin_d": grid_host["origin"] - grid_host["cell_size"],
+        "n_dilated": ud,
+    }
+
+
+@partial(jax.jit, static_argnames=("capacity", "n_lanes"))
+def _assemble_prepack(bucket_pts, bucket_idx, nrows, *, capacity: int, n_lanes: int):
+    """Device assembly of the candidate windows from the bucket tensors."""
+    ud = nrows.shape[0]
+    dtype = bucket_pts.dtype
+    safe = jnp.maximum(nrows, 0)
+    pts = bucket_pts[safe]  # (UD, 27, cap, 3)
+    idx = bucket_idx[safe]  # (UD, 27, cap)
+    idx = jnp.where(nrows[..., None] < 0, -1, idx)
+    pts = jnp.where((idx < 0)[..., None], jnp.asarray(_BIG, dtype), pts)
+    flat_idx = idx.reshape(ud, 27 * capacity)
+    flat_xyz = jnp.transpose(pts.reshape(ud, 27 * capacity, 3), (0, 2, 1))
+    pad = n_lanes - 27 * capacity
+    cand_xyz = jnp.pad(flat_xyz, ((0, 1), (0, 0), (0, pad)),
+                       constant_values=_BIG)
+    cand_idx = jnp.pad(flat_idx, ((0, 1), (0, pad)), constant_values=-1)
+    return cand_xyz, cand_idx
+
+
+def build_prepack(grid_host: dict, device_grid) -> PrepackedGrid | None:
+    """Build the per-pair fused-search state.
+
+    Args:
+      grid_host: dict from ops.grid.build_grid_host (numpy arrays).
+      device_grid: the HashGrid already on device (bucket tensors reused).
+    """
+    dil = dilate_cells_host(grid_host)
+    if dil is None:
+        return None
+    capacity = grid_host["capacity"]
+    n_lanes = round_up(27 * capacity, 128)
+    dev = jax.device_put(
+        {
+            "nrows": dil["nrows"],
+            "lut_d": dil["lut_d"],
+            "dims_d": dil["dims_d"],
+            "origin_d": dil["origin_d"].astype(
+                np.dtype(device_grid.bucket_pts.dtype)
+            ),
+        }
+    )
+    cand_xyz, cand_idx = _assemble_prepack(
+        device_grid.bucket_pts,
+        device_grid.bucket_idx,
+        dev["nrows"],
+        capacity=capacity,
+        n_lanes=n_lanes,
+    )
+    return PrepackedGrid(
+        cand_xyz=cand_xyz,
+        cand_idx=cand_idx,
+        lut_d=dev["lut_d"],
+        origin_d=dev["origin_d"],
+        dims_d=dev["dims_d"],
+        n_lanes=n_lanes,
+        n_dilated=dil["n_dilated"],
+        cell_size=grid_host["cell_size"],
+    )
+
+
+def _select_kernel(xyz_ref, idx_ref, src_ref, outd_ref, outi_ref, *, k, kp, r2, n_lanes):
+    """Distances + k-nearest extraction for BLOCK_GROUPS candidate windows.
+
+    All arrays live in VMEM; the 20-round min-extraction that costs ~35 ms
+    at HBM bandwidth in lax.top_k runs at VPU speed here.
+    """
+    bg = xyz_ref.shape[0]
+    bs = bg * GROUP
+    # Finite sentinel (not inf: the `m < big` found-test must be able to
+    # fail). Dead-slot coordinates are 1e30 so their d2 overflows to inf,
+    # which the `live` mask then maps back onto this sentinel.
+    big = jnp.float32(3e38)
+
+    def rep(x):  # (BG, L) -> (BS, L): window row j serves source rows 8j..8j+7
+        return jnp.broadcast_to(x[:, None, :], (bg, GROUP, n_lanes)).reshape(
+            bs, n_lanes
+        )
+
+    cx = rep(xyz_ref[:, 0, :])
+    cy = rep(xyz_ref[:, 1, :])
+    cz = rep(xyz_ref[:, 2, :])
+    ci = rep(idx_ref[:])
+    sx = src_ref[:, 0:1]
+    sy = src_ref[:, 1:2]
+    sz = src_ref[:, 2:3]
+    valid = src_ref[:, 3:4] > 0
+    dx = cx - sx
+    dy = cy - sy
+    dz = cz - sz
+    d2 = dx * dx + dy * dy + dz * dz
+    live = (ci >= 0) & valid & (d2 <= r2)
+    d2 = jnp.where(live, d2, big)
+
+    lane = lax.broadcasted_iota(jnp.int32, (bs, n_lanes), 1)
+    col = lax.broadcasted_iota(jnp.int32, (bs, kp), 1)
+    outd = jnp.full((bs, kp), big, jnp.float32)
+    outi = jnp.full((bs, kp), -1, jnp.int32)
+    for r in range(k):
+        m = jnp.min(d2, axis=1, keepdims=True)
+        amin = jnp.min(jnp.where(d2 == m, lane, n_lanes), axis=1, keepdims=True)
+        sel = lane == amin
+        chosen = jnp.sum(jnp.where(sel, ci, 0), axis=1, keepdims=True)
+        d2 = jnp.where(sel, big, d2)
+        hit = (col == r) & (m < big)
+        outd = jnp.where(hit, m, outd)
+        outi = jnp.where(hit, chosen, outi)
+    outd_ref[:] = outd
+    outi_ref[:] = outi
+
+
+@partial(
+    jax.jit,
+    static_argnames=("k", "radius", "n_lanes", "interpret"),
+)
+def fused_grid_search(
+    source,
+    source_valid,
+    cand_xyz,
+    cand_idx,
+    lut_d,
+    origin_d,
+    dims_d,
+    *,
+    k: int,
+    radius: float,
+    n_lanes: int,
+    interpret: bool = False,
+):
+    """Radius-capped KNN via cell-grouped windows + the Pallas select kernel.
+
+    Same contract as ops.grid.grid_radius_search. ``interpret=True`` runs the
+    kernel in the Pallas interpreter (CPU tests).
+
+    Returns (Correspondences, overflow) where overflow > 0 means the 2N-row
+    group padding overflowed (pathologically scattered sources) and the
+    caller must re-run the iteration with an XLA engine.
+    """
+    n = source.shape[0]
+    dtype = source.dtype
+    ud = cand_idx.shape[0] - 1  # last row is the dead window
+    s_pad = round_up(2 * n, BLOCK_GROUPS * GROUP)
+    ng = s_pad // GROUP
+
+    cell = jnp.asarray(radius, dtype)
+    r2 = jnp.asarray(radius, dtype) ** 2
+
+    # 1. source cell -> dilated-window row (UD = dead window).
+    ijk = jnp.floor((source - origin_d.astype(dtype)) / cell).astype(jnp.int32)
+    inb = jnp.all((ijk >= 0) & (ijk < dims_d[None, :]), axis=-1) & source_valid
+    safe = jnp.clip(ijk, 0, dims_d[None, :] - 1)
+    lin = safe[:, 0] + dims_d[0] * (safe[:, 1] + dims_d[1] * safe[:, 2])
+    row = jnp.where(inb, lut_d[lin], -1)
+    row = jnp.where(row < 0, ud, row)  # no-neighbor sources -> dead window
+
+    # 2. group same-cell sources into cell-pure GROUP-row blocks.
+    order = jnp.argsort(row, stable=True)
+    rs = row[order]
+    pos = jnp.arange(n, dtype=jnp.int32)
+    starts = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), rs[1:] != rs[:-1]]
+    )
+    start_pos = lax.associative_scan(jnp.maximum, jnp.where(starts, pos, -1))
+    local = pos - start_pos
+    gstart = starts | (local % GROUP == 0)
+    gid = jnp.cumsum(gstart.astype(jnp.int32)) - 1
+    dst = gid * GROUP + local % GROUP
+    overflow = jnp.sum(jnp.where(dst >= s_pad, 1, 0))
+
+    src_sorted = source[order]
+    padded = jnp.zeros((s_pad, 4), dtype)
+    padded = padded.at[dst].set(
+        jnp.concatenate(
+            [src_sorted, jnp.ones((n, 1), dtype)], axis=1
+        ),
+        mode="drop",
+    )
+    step_rows = jnp.full((ng,), ud, jnp.int32).at[gid].set(rs, mode="drop")
+
+    # 3. one window gather per group (contiguous multi-KB rows).
+    win_xyz = cand_xyz[step_rows]  # (NG, 3, L)
+    win_idx = cand_idx[step_rows]  # (NG, L)
+
+    kp = 32 if k <= 32 else round_up(k, 128)
+    kernel = partial(
+        _select_kernel, k=k, kp=kp, r2=np.float32(radius) ** 2, n_lanes=n_lanes
+    )
+    bs = BLOCK_GROUPS * GROUP
+    outd, outi = pl.pallas_call(
+        kernel,
+        grid=(ng // BLOCK_GROUPS,),
+        in_specs=[
+            pl.BlockSpec(
+                (BLOCK_GROUPS, 3, n_lanes), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((BLOCK_GROUPS, n_lanes), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bs, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bs, kp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bs, kp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((s_pad, kp), jnp.float32),
+            jax.ShapeDtypeStruct((s_pad, kp), jnp.int32),
+        ],
+        interpret=interpret,
+    )(win_xyz.astype(jnp.float32), win_idx, padded.astype(jnp.float32))
+
+    # 4. back to original source order. Overflowed sources (dst >= s_pad,
+    # dropped by the scatters above) keep the s_pad sentinel and yield empty
+    # rows here; `overflow` tells the caller to redo the iteration elsewhere.
+    inv = jnp.full((n,), s_pad, jnp.int32).at[order].set(
+        jnp.where(dst < s_pad, dst, s_pad), mode="drop"
+    )
+    in_range = inv < s_pad
+    inv_safe = jnp.minimum(inv, s_pad - 1)
+    d_rows = outd[inv_safe][:, :k]
+    i_rows = outi[inv_safe][:, :k]
+    found = (i_rows >= 0) & in_range[:, None]
+    return (
+        Correspondences(
+            indices=jnp.where(found, i_rows, 0),
+            sq_dists=jnp.where(found, d_rows.astype(dtype), 0.0),
+            mask=found,
+        ),
+        overflow,
+    )

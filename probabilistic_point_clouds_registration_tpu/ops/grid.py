@@ -175,7 +175,9 @@ _NEIGHBOR_OFFSETS = np.stack(
 
 @partial(
     jax.jit,
-    static_argnames=("k", "radius", "capacity", "source_tile", "select_impl"),
+    static_argnames=(
+        "k", "radius", "capacity", "source_tile", "select_impl", "return_points"
+    ),
 )
 def grid_radius_search(
     source: jnp.ndarray,
@@ -192,7 +194,8 @@ def grid_radius_search(
     source_valid: jnp.ndarray,
     source_tile: int = 4096,
     select_impl: str = "auto",
-) -> Correspondences:
+    return_points: bool = False,
+):
     """Radius-capped KNN against a prebuilt target grid.
 
     Same contract as ops.neighbors.radius_search: (N, k) original-target
@@ -207,6 +210,11 @@ def grid_radius_search(
     Explicit options: "topk", "hier", "pallas", "pallas_interpret" (tests),
     "approx" (lax.approx_max_k, recall ~0.99 — opt-in because neighbor sets
     then differ from FLANN's by design).
+
+    ``return_points=True`` additionally returns the selected neighbors'
+    coordinates (N, k, 3) gathered from the bucket tensor — the sharded
+    engine needs them because no single device holds the full target cloud
+    to re-gather from (parallel/grid_sharded.py).
     """
     if select_impl == "auto":
         select_impl = "hier" if capacity <= 16 else "topk"
@@ -277,27 +285,30 @@ def grid_radius_search(
         found = jnp.isfinite(best_d)
         args_ = jnp.minimum(args_, d2.shape[1] - 1)  # empty-slot sentinels
         best_idx = jnp.take_along_axis(cand_idx, args_, axis=1)
-        return jnp.where(found, best_idx, 0), best_d, found
+        out = (jnp.where(found, best_idx, 0), best_d, found)
+        if return_points:
+            best_pts = jnp.take_along_axis(cand_pts, args_[..., None], axis=1)
+            out = out + (jnp.where(found[..., None], best_pts, 0.0),)
+        return out
 
     n_blocks = n_pad // source_tile
     if n_blocks == 1:
         # Single block: skip the (sequentializing) lax.map wrapper.
-        idx, d2, found = search_block((src, sval))
-        idx, d2, found = idx[:n], d2[:n], found[:n]
-        return Correspondences(
-            indices=idx, sq_dists=jnp.where(found, d2, 0.0), mask=found
+        outs = search_block((src, sval))
+    else:
+        blocks = (
+            src.reshape(n_blocks, source_tile, 3),
+            sval.reshape(n_blocks, source_tile),
         )
-    blocks = (
-        src.reshape(n_blocks, source_tile, 3),
-        sval.reshape(n_blocks, source_tile),
-    )
-    idx, d2, found = lax.map(search_block, blocks)
-    idx = idx.reshape(n_pad, k)[:n]
-    d2 = d2.reshape(n_pad, k)[:n]
-    found = found.reshape(n_pad, k)[:n]
-    return Correspondences(
+        outs = lax.map(search_block, blocks)
+        outs = tuple(o.reshape((n_pad,) + o.shape[2:]) for o in outs)
+    idx, d2, found = (o[:n] for o in outs[:3])
+    corr = Correspondences(
         indices=idx, sq_dists=jnp.where(found, d2, 0.0), mask=found
     )
+    if return_points:
+        return corr, outs[3][:n]
+    return corr
 
 
 def pick_source_tile(capacity: int, budget_bytes: int = 192 * 1024 * 1024) -> int:

@@ -12,6 +12,13 @@ from .distributed import (
     make_sharded_registration_step,
     pad_for_mesh,
 )
+from .grid_sharded import (
+    ShardedGrid,
+    ShardedGridStepResult,
+    build_sharded_grid_host,
+    make_sharded_grid_registration_step,
+    merge_topk,
+)
 from .search import local_topk_merge, make_target_sharded_search
 
 __all__ = [
@@ -26,4 +33,9 @@ __all__ = [
     "pad_for_mesh",
     "local_topk_merge",
     "make_target_sharded_search",
+    "ShardedGrid",
+    "ShardedGridStepResult",
+    "build_sharded_grid_host",
+    "make_sharded_grid_registration_step",
+    "merge_topk",
 ]

@@ -1,0 +1,223 @@
+"""Target-sharded HASH-GRID search + the full sharded outer step.
+
+Round-1's sharded step (parallel/distributed.py) used the brute-force
+streaming engine; the production single-device engine is the hash grid
+(ops/grid.py). This module shards *that* engine so multi-device execution
+composes with single-device performance claims:
+
+  * Target rows are dealt round-robin over the ``"targets"`` mesh axis, so
+    every shard sees ~1/T of the density in the SAME spatial cells. Each
+    device builds a local sub-grid with the GLOBAL origin/dims/cell-size and
+    a capacity quantized from the max local occupancy — per-device candidate
+    width (27 * capacity_local) genuinely shrinks ~T-fold vs the global grid
+    (real work scaling, unlike spatial slabs which keep local density
+    unchanged).
+  * ``bucket_idx`` stores GLOBAL target row ids, so per-shard results need no
+    re-indexing before the all-gather top-k merge (the same merge as
+    parallel/search.py); merged candidate coordinates travel with the merge,
+    so no device ever materializes the full target cloud.
+  * Source rows shard over ``"points"``; the EM-LM normal equations reduce
+    with psum over that axis exactly as in parallel/distributed.py.
+
+Replaces the reference's per-iteration FLANN kd-tree rebuild + query loop
+(src/prob_point_cloud_registration.cc:66-81) at multi-device scale.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..core.se3 import quat_rotate
+from ..core.types import round_up
+from ..models.em_lm import LMConfig, LMResult, em_lm_solve
+from ..ops.grid import _quantize_capacity
+from .mesh import POINTS_AXIS, TARGETS_AXIS
+
+_INT32_MAX = 2**31 - 1
+
+
+class ShardedGrid(NamedTuple):
+    """Host-side sharded grid arrays (leading axis = T * per-shard rows).
+
+    Ship to device with a sharding that splits axis 0 over ``"targets"``.
+    """
+
+    bucket_pts: np.ndarray  # (T * U_max, capacity, 3)
+    bucket_idx: np.ndarray  # (T * U_max, capacity) global target rows; -1 pad
+    lut: np.ndarray  # (T * dims_prod,) linear cell -> local bucket row
+    origin: np.ndarray  # (3,) global
+    dims: np.ndarray  # (3,) int32 global
+    capacity: int  # max over shards (static)
+    u_max: int  # padded per-shard occupied-cell count (static)
+    cell_size: float
+    n_shards: int
+
+
+def build_sharded_grid_host(
+    target: np.ndarray, cell_size: float, n_shards: int, *, num_valid: int | None = None
+) -> ShardedGrid | None:
+    """Deal target rows round-robin into ``n_shards`` sub-grids (numpy only).
+
+    Returns None under the same conditions as ops.grid.build_grid_host, or
+    when the dense LUT would not fit (the sharded engine requires the LUT:
+    searchsorted is not a TPU-viable fallback on the hot path).
+    """
+    target = np.asarray(target, dtype=np.float64)
+    n = num_valid if num_valid is not None else target.shape[0]
+    if n == 0 or cell_size <= 0 or not np.isfinite(cell_size):
+        return None
+    pts = target[:n]
+    origin = pts.min(axis=0)
+    ijk = np.floor((pts - origin) / cell_size).astype(np.int64)
+    dims = ijk.max(axis=0) + 1
+    dims_prod = int(dims[0]) * int(dims[1]) * int(dims[2])
+    if dims_prod >= _INT32_MAX or dims_prod > (1 << 25) // max(n_shards, 1):
+        return None
+    lin = ijk[:, 0] + dims[0] * (ijk[:, 1] + dims[1] * ijk[:, 2])
+
+    shard_of = np.arange(n) % n_shards
+    per_shard = []
+    u_max, cap_max = 1, 1
+    for s in range(n_shards):
+        rows = np.nonzero(shard_of == s)[0]
+        lin_s = lin[rows]
+        order = np.argsort(lin_s, kind="stable")
+        cells, start, counts = np.unique(
+            lin_s[order], return_index=True, return_counts=True
+        )
+        per_shard.append((rows, order, cells, start, counts))
+        u_max = max(u_max, len(cells))
+        cap_max = max(cap_max, int(counts.max()) if counts.size else 1)
+    capacity = _quantize_capacity(cap_max)
+
+    bucket_pts = np.zeros((n_shards, u_max, capacity, 3), dtype=np.float64)
+    bucket_idx = np.full((n_shards, u_max, capacity), -1, dtype=np.int32)
+    lut = np.full((n_shards, dims_prod), -1, dtype=np.int32)
+    for s, (rows, order, cells, start, counts) in enumerate(per_shard):
+        if not len(cells):
+            continue
+        lin_sorted = lin[rows][order]
+        cell_row = np.searchsorted(cells, lin_sorted)
+        slot = np.arange(len(rows)) - start[cell_row]
+        bucket_idx[s, cell_row, slot] = rows[order].astype(np.int32)
+        bucket_pts[s, cell_row, slot] = pts[rows[order]]
+        lut[s, cells] = np.arange(len(cells), dtype=np.int32)
+
+    return ShardedGrid(
+        bucket_pts=bucket_pts.reshape(n_shards * u_max, capacity, 3),
+        bucket_idx=bucket_idx.reshape(n_shards * u_max, capacity),
+        lut=lut.reshape(n_shards * dims_prod),
+        origin=origin,
+        dims=dims.astype(np.int32),
+        capacity=capacity,
+        u_max=u_max,
+        cell_size=float(cell_size),
+        n_shards=n_shards,
+    )
+
+
+def merge_topk(all_d, all_i, all_p=None, *, k: int):
+    """Merge (D, N, k) per-shard candidate sets into the global (N, k) best.
+
+    Ties across shards resolve by shard order then slot order — the same
+    deterministic ordering a single device's candidate enumeration yields.
+    """
+    d, n, _ = all_d.shape
+    cand_d = jnp.moveaxis(all_d, 0, 1).reshape(n, d * k)
+    cand_i = jnp.moveaxis(all_i, 0, 1).reshape(n, d * k)
+    neg_best, args = lax.top_k(-cand_d, k)
+    best_d = -neg_best
+    best_i = jnp.take_along_axis(cand_i, args, axis=1)
+    found = jnp.isfinite(best_d)
+    best_i = jnp.where(found, best_i, 0)
+    if all_p is None:
+        return best_i, best_d, found
+    cand_p = jnp.moveaxis(all_p, 0, 1).reshape(n, d * k, 3)
+    best_p = jnp.take_along_axis(cand_p, args[..., None], axis=1)
+    return best_i, best_d, found, best_p
+
+
+class ShardedGridStepResult(NamedTuple):
+    result: LMResult
+    num_correspondences: jnp.ndarray
+
+
+def make_sharded_grid_registration_step(
+    mesh: jax.sharding.Mesh,
+    *,
+    k: int,
+    radius: float,
+    lm_config: LMConfig,
+    capacity: int,
+    source_tile: int = 4096,
+):
+    """Jitted full outer iteration with the grid engine over a 2D mesh.
+
+    Call with device arrays laid out per :class:`ShardedGrid` (axis 0 sharded
+    over ``"targets"``), source rows sharded over ``"points"``:
+
+      step(fs, sv, bucket_pts, bucket_idx, lut, origin, dims,
+           q_cum, t_cum, q0, t0) -> ShardedGridStepResult
+    """
+    P = jax.sharding.PartitionSpec
+    cfg = lm_config._replace(axis_name=POINTS_AXIS)
+
+    def body(fs, sv, bucket_pts, bucket_idx, lut, origin, dims, q_cum, t_cum, q0, t0):
+        from ..ops.grid import grid_radius_search
+
+        moved = quat_rotate(q_cum, fs) + t_cum
+        corr, pts = grid_radius_search(
+            moved,
+            bucket_pts,
+            bucket_idx,
+            jnp.zeros((bucket_pts.shape[0],), jnp.int32),  # cell_ids unused (LUT path)
+            origin,
+            dims,
+            lut,
+            k=k,
+            radius=radius,
+            capacity=capacity,
+            source_valid=sv,
+            source_tile=source_tile,
+            return_points=True,
+        )
+        local_d = jnp.where(corr.mask, corr.sq_dists, jnp.inf)
+        all_d = lax.all_gather(local_d, TARGETS_AXIS)
+        all_i = lax.all_gather(corr.indices, TARGETS_AXIS)
+        all_p = lax.all_gather(pts, TARGETS_AXIS)
+        best_i, best_d, found, best_p = merge_topk(all_d, all_i, all_p, k=k)
+        result = em_lm_solve(moved, best_p, found, q0, t0, cfg)
+        n_corr = lax.psum(jnp.sum(found.astype(jnp.int32)), POINTS_AXIS)
+        return ShardedGridStepResult(result=result, num_correspondences=n_corr)
+
+    sharded = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            P(POINTS_AXIS),  # source rows
+            P(POINTS_AXIS),  # source validity
+            P(TARGETS_AXIS),  # bucket_pts rows
+            P(TARGETS_AXIS),  # bucket_idx rows
+            P(TARGETS_AXIS),  # per-shard LUT rows
+            P(),  # origin
+            P(),  # dims
+            P(),
+            P(),
+            P(),
+            P(),
+        ),
+        out_specs=ShardedGridStepResult(
+            result=LMResult(q=P(), t=P(), initial_cost=P(), final_cost=P(),
+                            num_iterations=P(), num_successful_steps=P()),
+            num_correspondences=P(),
+        ),
+        # Merge outputs are replicated along "targets" and psum-reduced along
+        # "points", but vma can't prove it through all_gather; cross-device
+        # parity is asserted in tests/test_grid_sharded.py.
+        check_vma=False,
+    )
+    return jax.jit(sharded)

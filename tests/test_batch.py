@@ -75,3 +75,49 @@ def test_batched_sharded_over_mesh():
     )
     for a, b in zip(poses, poses_ref):
         np.testing.assert_allclose(a, b, atol=1e-9)
+
+
+def test_batched_convergence_masking_matches_sequential():
+    """With the convergence rule ON, each batched pair must stop exactly
+    where the sequential host loop stops (same iteration counts, same
+    trajectory) and report fewer iterations than the cap."""
+    scans, gt = _sequence(4)
+    cfg = LMConfig(dof=5.0, max_iterations=25)
+    n_outer = 12
+    poses_b, result = run_odometry_batched(
+        scans, k=10, radius=1.0, lm_config=cfg, n_outer=n_outer,
+        pad_multiple=128, dtype="float64",
+        cost_drop_thresh=0.01, n_cost_drop_it=3,
+    )
+    seq = run_odometry(
+        scans,
+        RegistrationParams(max_neighbours=10, radius=1.0, n_iter=n_outer,
+                           cost_drop_thresh=0.01, n_cost_drop_it=3,
+                           dtype="float64", max_inner_iterations=25),
+    )
+    # Iteration counts must match the host convergence rule exactly.
+    seq_iters = [
+        len(r.strip().splitlines()) - 1 for r in seq.reports
+    ]
+    np.testing.assert_array_equal(np.asarray(result.num_iterations), seq_iters)
+    assert np.all(np.asarray(result.num_iterations) < n_outer), (
+        "fixture must actually converge early for this test to bite"
+    )
+    for a, b in zip(poses_b, seq.poses):
+        np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_batched_grid_engine_matches_brute():
+    """The batched grid engine (production search) must reproduce the
+    batched brute-force trajectories."""
+    scans, gt = _sequence(4)
+    cfg = LMConfig(dof=5.0, max_iterations=25)
+    kw = dict(k=10, radius=0.5, lm_config=cfg, n_outer=6, pad_multiple=128,
+              dtype="float64")
+    poses_g, res_g = run_odometry_batched(scans, search_impl="grid", **kw)
+    poses_b, res_b = run_odometry_batched(scans, search_impl="brute", **kw)
+    for a, b in zip(poses_g, poses_b):
+        np.testing.assert_allclose(a, b, atol=1e-9)
+    np.testing.assert_array_equal(
+        np.asarray(res_g.num_correspondences), np.asarray(res_b.num_correspondences)
+    )
