@@ -22,7 +22,7 @@ from common import emit, synthetic_sequence
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--scans", default=None, help="directory of .pcd/.bin scans")
+    ap.add_argument("--scans", default=None, help="directory of .pcd/.csv/.bin scans")
     ap.add_argument("--ground_truth", default=None)
     ap.add_argument("--calib", default=None)
     ap.add_argument("--n_scans", type=int, default=6, help="synthetic sequence length")
@@ -53,8 +53,16 @@ def main():
             load_poses,
         )
 
+        from probabilistic_point_clouds_registration_tpu.io.eth_csv import (
+            list_eth_scans,
+        )
+
         d = Path(args.scans)
-        scans = sorted(d.glob("*.pcd")) or list_velodyne_scans(d)
+        scans = (
+            sorted(d.glob("*.pcd"))
+            or list_eth_scans(d)  # ETH ASL challenging-datasets CSVs
+            or list_velodyne_scans(d)
+        )
         label = f"sequence:{d.name}"
         if args.ground_truth:
             gt_poses = load_poses(args.ground_truth)

@@ -85,6 +85,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="outer iterations fused per device program (grid engine)")
     p.add_argument("--profile_dir", default=None,
                    help="write a jax.profiler trace of align() to this directory")
+    p.add_argument("--inner_report", action="store_true",
+                   help="print per-LM-iteration diagnostics when verbose (the "
+                        "reference's Ceres FullReport analogue)")
     return p
 
 
@@ -107,6 +110,7 @@ def main(argv=None) -> int:
         cost_drop_thresh=args.cost_drop_treshold,
         n_cost_drop_it=args.num_drop_iter,
         verbose=args.verbose,
+        trace_inner=args.inner_report,
         summary=args.dump,
         source_filter_size=args.source_filter_size,
         target_filter_size=args.target_filter_size,

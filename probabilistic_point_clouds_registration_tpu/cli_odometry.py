@@ -84,9 +84,14 @@ def main(argv=None) -> int:
 
     scan_dir = Path(args.scan_dir)
     if scan_dir.is_dir():
+        from .io.eth_csv import list_eth_scans
         from .io.kitti import list_velodyne_scans
 
-        scans = sorted(scan_dir.glob("*.pcd")) or list_velodyne_scans(scan_dir)
+        scans = (
+            sorted(scan_dir.glob("*.pcd"))
+            or list_eth_scans(scan_dir)  # ETH ASL challenging-datasets CSVs
+            or list_velodyne_scans(scan_dir)
+        )
     else:
         import glob as _glob  # stdlib glob handles absolute patterns
 

@@ -70,6 +70,12 @@ class RegistrationParams:
     # directory (TensorBoard-compatible; the reference's closest analogue is
     # Ceres's per-solve FullReport timing, src/prob_point_cloud_registration.cc:108).
     profile_dir: Optional[str] = None
+    # Stream per-LM-iteration diagnostics (cost, step quality, trust-region
+    # radius, accepted) out of the inner solver and print them when verbose —
+    # the parity analogue of the reference's per-outer-iteration
+    # ``summary.FullReport()`` (src/prob_point_cloud_registration.cc:108).
+    # Forces the un-chunked single-step engine path.
+    trace_inner: bool = False
 
     @property
     def is_gaussian(self) -> bool:

@@ -71,6 +71,12 @@ class LMConfig(NamedTuple):
     min_relative_decrease: float = 1e-3
     use_nonmonotonic_steps: bool = True
     axis_name: str | None = None
+    # Record per-LM-iteration (cost, step_quality, radius, accepted) into
+    # LMResult.trace — the analogue of Ceres's per-iteration summary rows in
+    # ``summary.FullReport()`` that the reference prints when verbose
+    # (src/prob_point_cloud_registration.cc:108). Off by default: the trace
+    # buffer is (max_iterations, 4) of carried state.
+    trace: bool = False
 
 
 class LMState(NamedTuple):
@@ -89,6 +95,9 @@ class LMState(NamedTuple):
     acc_reference_mcc: jnp.ndarray
     acc_candidate_mcc: jnp.ndarray
     num_nonmonotonic: jnp.ndarray
+    # (max_iterations, 4) rows [cost, step_quality, radius, accepted] when
+    # LMConfig.trace, else (0, 4).
+    trace: jnp.ndarray
 
 
 class LMResult(NamedTuple):
@@ -98,6 +107,9 @@ class LMResult(NamedTuple):
     final_cost: jnp.ndarray
     num_iterations: jnp.ndarray
     num_successful_steps: jnp.ndarray
+    # Per-LM-iteration [cost, step_quality, radius, accepted]; empty (0, 4)
+    # unless LMConfig.trace. Rows beyond num_iterations are zeros.
+    trace: jnp.ndarray
 
 
 def _residuals(q, t, source, targets):
@@ -195,6 +207,9 @@ def em_lm_solve(
         acc_reference_mcc=f(0.0),
         acc_candidate_mcc=f(0.0),
         num_nonmonotonic=jnp.asarray(0, jnp.int32),
+        trace=jnp.zeros(
+            (config.max_iterations if config.trace else 0, 4), dtype
+        ),
     )
 
     def cond(s: LMState):
@@ -272,6 +287,15 @@ def em_lm_solve(
         dead_radius = radius < _MIN_TRUST_REGION_RADIUS
         done = ftol_hit | dead_radius | ~jnp.isfinite(new_cost)
 
+        trace = s.trace
+        if config.trace:
+            row = jnp.stack(
+                [new_cost, step_quality, radius, accepted.astype(dtype)]
+            )
+            trace = jax.lax.dynamic_update_index_in_dim(
+                trace, row, s.iteration, 0
+            )
+
         return LMState(
             q=jnp.where(accepted, q_new, s.q),
             t=jnp.where(accepted, t_new, s.t),
@@ -287,6 +311,7 @@ def em_lm_solve(
             acc_reference_mcc=acc_ref,
             acc_candidate_mcc=acc_cand,
             num_nonmonotonic=num_nm,
+            trace=trace,
         )
 
     final = jax.lax.while_loop(cond, body, init)
@@ -297,4 +322,5 @@ def em_lm_solve(
         final_cost=final.cost,
         num_iterations=final.iteration,
         num_successful_steps=final.num_successful,
+        trace=final.trace,
     )

@@ -46,6 +46,10 @@ def _load_scan(scan: ScanSource) -> np.ndarray:
             from ..io.kitti import load_velodyne_bin
 
             return load_velodyne_bin(scan).astype(np.float64)
+        if str(scan).endswith(".csv"):
+            from ..io.eth_csv import load_eth_csv
+
+            return load_eth_csv(scan)
         from ..io.pcd import load_pcd
 
         return load_pcd(str(scan))

@@ -522,6 +522,9 @@ class ProbabilisticRegistration:
         self.transformation_history: List[np.ndarray] = []
         self.records: List[IterationRecord] = []
         self.iteration_times: List[float] = []  # wall seconds per outer iter
+        # Inner solves that ran into max_inner_iterations (the reference runs
+        # Ceres unbounded, cc:96 — a hit means results may diverge from it).
+        self.inner_cap_hits = 0
         self.current_iteration = 0
         self.cost_drop = 0.0
         self.num_unuseful_iter = 0
@@ -565,6 +568,20 @@ class ProbabilisticRegistration:
         final_cost = float(final_cost)
         self.cost_drop = (initial_cost - final_cost) / initial_cost if initial_cost else 0.0
 
+        if int(num_iterations) >= p.max_inner_iterations:
+            self.inner_cap_hits += 1
+            if self.inner_cap_hits == 1:
+                import warnings
+
+                warnings.warn(
+                    f"inner LM solve hit max_inner_iterations="
+                    f"{p.max_inner_iterations}; the reference runs Ceres "
+                    f"unbounded (prob_point_cloud_registration.cc:96) — "
+                    f"results may diverge from it. Consider raising the cap.",
+                    RuntimeWarning,
+                    stacklevel=3,
+                )
+
         if self.ground_truth or p.summary:
             moved_source = self.source_cloud @ current[:3, :3].T + current[:3, 3]
         if self.ground_truth:
@@ -603,6 +620,13 @@ class ProbabilisticRegistration:
         q0 = jnp.asarray(p.initial_rotation, dtype=self.dtype)
         t0 = jnp.asarray(p.initial_translation, dtype=self.dtype)
         chunk = max(1, int(p.outer_chunk)) if self._grid is not None else 1
+        lm_config = self._lm_config
+        if p.trace_inner:
+            # Per-LM-iteration diagnostics need the un-chunked single-step
+            # path (one solve per device call, trace buffer fetched each time).
+            chunk = 1
+            self._prepack = None
+            lm_config = lm_config._replace(trace=True)
 
         converged = False
         while not converged:
@@ -715,7 +739,7 @@ class ProbabilisticRegistration:
                     t0,
                     k=p.max_neighbours,
                     radius=p.radius,
-                    lm_config=self._lm_config,
+                    lm_config=lm_config,
                     capacity=g.capacity,
                     select_impl=p.search_select,
                 )
@@ -738,9 +762,18 @@ class ProbabilisticRegistration:
                     t0,
                     k=p.max_neighbours,
                     radius=p.radius,
-                    lm_config=self._lm_config,
+                    lm_config=lm_config,
                     target_tile=p.search_target_tile,
                 )
+            if p.trace_inner:
+                tr = np.asarray(result.trace)
+                for i in range(int(result.num_iterations)):
+                    verdict = "accepted" if tr[i, 3] else "rejected"
+                    self.out << (
+                        f"   lm_iter {i}: cost={tr[i, 0]:.6g} "
+                        f"step_quality={tr[i, 1]:.4g} "
+                        f"trust_radius={tr[i, 2]:.4g} {verdict}\n"
+                    )
             self._process_iteration(
                 result.q,
                 result.t,

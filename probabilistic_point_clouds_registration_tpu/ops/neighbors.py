@@ -15,6 +15,16 @@ nearest within the radius, sorted ascending by distance: semantically equal
 to FLANN's sorted, capped radiusSearch (tie *order* may differ; the
 association set is identical up to distance ties).
 
+Tie-order bound (measured, tests/test_tie_sensitivity.py): every engine
+always returns all neighbors strictly closer than the k-th distance and
+nothing farther — divergence between engines/FLANN is confined to which
+members of the EXACT-tie class at the k-th slot are kept. On a maximally
+tied integer lattice this engine matches a (distance, lowest-index) oracle
+on 100% of rows; the grid engine's cell-bucket enumeration picks other
+tie-class members on ~48% of rows there. Equal distances get equal E-step
+weights, so the EM cost surface is invariant to the choice; real
+(non-quantized) clouds tie with probability ~0.
+
 This file is the pure-XLA engine (works on CPU/TPU, used for tests and as
 fallback); ops/neighbors_pallas.py holds the hand-tiled Pallas kernel.
 """

@@ -110,7 +110,8 @@ def make_sharded_registration_step(
         ),
         out_specs=ShardedStepResult(
             result=LMResult(q=P(), t=P(), initial_cost=P(), final_cost=P(),
-                            num_iterations=P(), num_successful_steps=P()),
+                            num_iterations=P(), num_successful_steps=P(),
+                            trace=P()),
             num_correspondences=P(),
         ),
         # Outputs are replicated (psum-reduced iterates / all-gather-merged

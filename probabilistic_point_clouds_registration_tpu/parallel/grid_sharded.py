@@ -212,7 +212,8 @@ def make_sharded_grid_registration_step(
         ),
         out_specs=ShardedGridStepResult(
             result=LMResult(q=P(), t=P(), initial_cost=P(), final_cost=P(),
-                            num_iterations=P(), num_successful_steps=P()),
+                            num_iterations=P(), num_successful_steps=P(),
+                            trace=P()),
             num_correspondences=P(),
         ),
         # Merge outputs are replicated along "targets" and psum-reduced along

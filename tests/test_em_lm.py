@@ -105,3 +105,68 @@ def test_initial_transform_is_respected():
     est = se3.SE3(q=result.q, t=result.t)
     aligned = np.asarray(se3.se3_apply(est, jnp.asarray(source)))
     assert np.mean(np.linalg.norm(aligned - target, axis=1)) < 1e-9
+
+
+def test_lm_trace_records_iterations():
+    """LMConfig.trace must record per-iteration (cost, step_quality, radius,
+    accepted) rows — the Ceres FullReport parity surface."""
+    import numpy as np
+    from probabilistic_point_clouds_registration_tpu.models.em_lm import (
+        LMConfig,
+        em_lm_solve,
+    )
+
+    rng = np.random.default_rng(0)
+    src = rng.normal(size=(200, 3))
+    tgt = (src + np.array([0.1, -0.05, 0.02]))[:, None, :]  # exact association
+    mask = np.ones((200, 1), bool)
+    cfg = LMConfig(dof=np.inf, dimension=3, max_iterations=30, trace=True)
+    res = em_lm_solve(
+        jnp.asarray(src), jnp.asarray(tgt), jnp.asarray(mask),
+        jnp.asarray([1.0, 0, 0, 0]), jnp.zeros(3), cfg,
+    )
+    n = int(res.num_iterations)
+    tr = np.asarray(res.trace)
+    assert tr.shape == (30, 4)
+    assert n >= 1
+    assert np.all(tr[:n, 2] > 0), "radius rows must be populated"
+    accepted = tr[:n, 3] > 0
+    assert accepted.any()
+    costs = tr[:n, 0][accepted]
+    assert costs[-1] <= float(res.initial_cost)
+    assert np.allclose(costs[-1], float(res.final_cost), rtol=1e-6)
+    # rows past num_iterations stay zero
+    assert np.all(tr[n:] == 0)
+
+    # trace off -> empty buffer, identical solution
+    res2 = em_lm_solve(
+        jnp.asarray(src), jnp.asarray(tgt), jnp.asarray(mask),
+        jnp.asarray([1.0, 0, 0, 0]), jnp.zeros(3),
+        cfg._replace(trace=False),
+    )
+    assert np.asarray(res2.trace).shape == (0, 4)
+    np.testing.assert_allclose(np.asarray(res2.q), np.asarray(res.q))
+
+
+def test_inner_iteration_cap_warning():
+    """Hitting max_inner_iterations must warn (the reference runs unbounded)."""
+    import warnings
+
+    import numpy as np
+    from probabilistic_point_clouds_registration_tpu.core.params import (
+        RegistrationParams,
+    )
+    from probabilistic_point_clouds_registration_tpu.io.synthetic import wave_grid
+    from probabilistic_point_clouds_registration_tpu.models.registration import (
+        register_pair,
+    )
+
+    tgt = wave_grid()
+    src = tgt + np.array([0.3, -0.2, 0.1])
+    p = RegistrationParams(max_neighbours=8, radius=1.0, n_iter=2,
+                           cost_drop_thresh=-1.0, max_inner_iterations=2)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        _, reg = register_pair(src, tgt, p)
+    assert reg.inner_cap_hits >= 1
+    assert any("max_inner_iterations" in str(w.message) for w in rec)
