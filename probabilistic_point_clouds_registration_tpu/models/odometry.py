@@ -154,33 +154,59 @@ def run_odometry(
     if result is None:
         result = OdometryResult(poses=[np.eye(4)])
 
+    from concurrent.futures import ThreadPoolExecutor
+
     from ..io.prefetch import ScanPrefetcher
 
     start_pair = len(result.relative_transforms)
-    with ScanPrefetcher(scans) as prefetcher:
-        prev_scan = prefetcher.get(start_pair) if start_pair < n_scans - 1 else None
+    # Target-prep pipeline: pair i's TARGET is scan i, which was pair i-1's
+    # source — so while pair i-1 computes on device, a background thread
+    # voxel-filters, pads, and grid-builds scan i (pure numpy; at KITTI scale
+    # the grid build alone is ~0.5 s of otherwise-serial host time per pair).
+    prep_pool = ThreadPoolExecutor(max_workers=1)
+    try:
+        with ScanPrefetcher(scans) as prefetcher:
+            prev_scan = prefetcher.get(start_pair) if start_pair < n_scans - 1 else None
+            prep_future = None
+            if prev_scan is not None:
+                prep_future = prep_pool.submit(
+                    ProbabilisticRegistration.prepare_target, prev_scan, params
+                )
 
-        for i in range(start_pair, n_scans - 1):
-            # Overlaps the next scans' disk read/decompress with device compute.
-            source = prefetcher.get(i + 1)
-            target = prev_scan if prev_scan is not None else prefetcher.get(i)
-            out << f"[pair {i}] registering scan {i + 1} ({source.shape[0]} pts) onto scan {i} ({target.shape[0]} pts)\n"
+            for i in range(start_pair, n_scans - 1):
+                # Overlaps the next scans' disk read/decompress with device compute.
+                source = prefetcher.get(i + 1)
+                target = prev_scan if prev_scan is not None else prefetcher.get(i)
+                prepared = prep_future.result() if prep_future is not None else None
+                # Schedule the NEXT pair's target prep (this pair's source)
+                # before the device work starts.
+                if i + 1 < n_scans - 1:
+                    prep_future = prep_pool.submit(
+                        ProbabilisticRegistration.prepare_target, source, params
+                    )
+                else:
+                    prep_future = None
+                out << f"[pair {i}] registering scan {i + 1} ({source.shape[0]} pts) onto scan {i} ({target.shape[0]} pts)\n"
 
-            reg = ProbabilisticRegistration(source, target, params)
-            t_rel = reg.align()
+                reg = ProbabilisticRegistration(
+                    source, target, params, prepared_target=prepared
+                )
+                t_rel = reg.align()
 
-            pose = result.poses[-1] @ t_rel
-            result.relative_transforms.append(t_rel)
-            result.poses.append(pose)
-            result.per_pair_cost.append(
-                result_final_cost(reg) if reg.records else float("nan")
-            )
-            result.reports.append(reg.report())
+                pose = result.poses[-1] @ t_rel
+                result.relative_transforms.append(t_rel)
+                result.poses.append(pose)
+                result.per_pair_cost.append(
+                    result_final_cost(reg) if reg.records else float("nan")
+                )
+                result.reports.append(reg.report())
 
-            if checkpoint_path is not None:
-                save_checkpoint(checkpoint_path, result)
-            if on_pair is not None:
-                on_pair(i, pose)
-            prev_scan = source  # next pair's target is this (unmoved) scan
+                if checkpoint_path is not None:
+                    save_checkpoint(checkpoint_path, result)
+                if on_pair is not None:
+                    on_pair(i, pose)
+                prev_scan = source  # next pair's target is this (unmoved) scan
+    finally:
+        prep_pool.shutdown(wait=False, cancel_futures=True)
 
     return result

@@ -375,12 +375,34 @@ class ProbabilisticRegistration:
         enables the MSE-vs-ground-truth column (cc:50-61).
     """
 
+    @staticmethod
+    def prepare_target(target_cloud: np.ndarray, params: RegistrationParams) -> dict:
+        """Host-side target preprocessing: voxel filter + pad + grid build.
+
+        Everything here is pure numpy, so sequence pipelines can run it on a
+        background thread for the NEXT pair's target while the current pair
+        computes on device (models/odometry.py) — at KITTI scale the grid
+        build alone is ~0.5 s of otherwise-serial host time per pair. Pass
+        the result to the constructor as ``prepared_target``.
+        """
+        target = np.asarray(target_cloud, dtype=np.float64)
+        if params.target_filter_size > 0:
+            target = voxel_downsample(target, params.target_filter_size)
+        from ..ops.grid import build_grid_host
+
+        tg, n_tgt = pad_cloud(target, params.pad_multiple, pad_value=0.0)
+        grid = None
+        if params.search_impl in ("auto", "grid", "fused"):
+            grid = build_grid_host(tg, params.radius, num_valid=n_tgt)
+        return {"target_cloud": target, "tg": tg, "n_tgt": n_tgt, "grid": grid}
+
     def __init__(
         self,
         source_cloud: np.ndarray,
         target_cloud: np.ndarray,
         params: RegistrationParams,
         ground_truth_cloud: Optional[np.ndarray] = None,
+        prepared_target: Optional[dict] = None,
     ):
         params.validate()
         self.params = params
@@ -399,11 +421,11 @@ class ProbabilisticRegistration:
             self.filtered_source = voxel_downsample(self.source_cloud, params.source_filter_size)
         else:
             self.filtered_source = self.source_cloud.copy()
-        target = np.asarray(target_cloud, dtype=np.float64)
-        if params.target_filter_size > 0:
-            self.out << f"Filtering target point cloud with leaf of size {params.target_filter_size}\n"
-            target = voxel_downsample(target, params.target_filter_size)
-        self.target_cloud = target
+        if prepared_target is None:
+            if params.target_filter_size > 0:
+                self.out << f"Filtering target point cloud with leaf of size {params.target_filter_size}\n"
+            prepared_target = self.prepare_target(target_cloud, params)
+        self.target_cloud = prepared_target["target_cloud"]
 
         self.ground_truth = ground_truth_cloud is not None
         self.mse_ground_truth = 0.0
@@ -418,7 +440,7 @@ class ProbabilisticRegistration:
         # dispatch/roundtrip on a tunneled chip (~100 ms of ctor time before).
         pad = params.pad_multiple
         fs, self._n_src = pad_cloud(self.filtered_source, pad, pad_value=0.0)
-        tg, self._n_tgt = pad_cloud(self.target_cloud, pad, pad_value=0.0)
+        tg, self._n_tgt = prepared_target["tg"], prepared_target["n_tgt"]
         np_dtype = np.dtype(params.dtype)
         bundle = {
             "src": fs.astype(np_dtype),
@@ -427,13 +449,11 @@ class ProbabilisticRegistration:
             "tgt_valid": np.arange(tg.shape[0]) < self._n_tgt,
         }
 
-        # Build the target hash grid once (search_impl "auto"/"grid"/"fused");
+        # Target hash grid, built once per pair (search_impl
+        # "auto"/"grid"/"fused"; possibly prebuilt on a prefetch thread);
         # None keeps the brute-force streaming engine.
-        grid = None
-        if params.search_impl in ("auto", "grid", "fused"):
-            from ..ops.grid import build_grid_host
-
-            grid = build_grid_host(tg, params.radius, num_valid=self._n_tgt)
+        grid = prepared_target["grid"]
+        if grid is not None:
             if (
                 grid is not None
                 and params.search_impl == "auto"
