@@ -274,6 +274,62 @@ def _registration_scan_grid(
 
 @partial(
     jax.jit,
+    static_argnames=("k", "radius", "lm_config", "target_tile", "chunk"),
+)
+def _registration_scan_brute(
+    filtered_source,
+    target,
+    source_valid,
+    target_valid,
+    q_cum,
+    t_cum,
+    q0,
+    t0,
+    *,
+    k: int,
+    radius: float,
+    lm_config: LMConfig,
+    target_tile: int,
+    chunk: int,
+):
+    """``chunk`` fused outer iterations with the brute-force streaming engine
+    (one host sync per chunk — same contract as _registration_scan_grid)."""
+    from ..core.se3 import quat_rotate
+
+    def step(carry, _):
+        qc, tc = carry
+        moved = quat_rotate(qc, filtered_source) + tc
+        corr = radius_search(
+            moved,
+            target,
+            k=k,
+            radius=radius,
+            source_valid=source_valid,
+            target_valid=target_valid,
+            target_tile=target_tile,
+        )
+        gathered = target[corr.indices]
+        res = em_lm_solve(moved, gathered, corr.mask, q0, t0, lm_config)
+        qn = quat_normalize(res.q)
+        q_new = quat_multiply(qn, qc)
+        t_new = unit_quat_rotate(qn, tc) + res.t
+        out = (
+            res.q,
+            res.t,
+            res.initial_cost,
+            res.final_cost,
+            res.num_iterations,
+            res.num_successful_steps,
+            jnp.sum(corr.mask),
+        )
+        return (q_new, t_new), out
+
+    _, outs = jax.lax.scan(step, (q_cum, t_cum), None, length=chunk)
+    return outs
+
+
+@partial(
+    jax.jit,
     static_argnames=("k", "radius", "lm_config", "n_lanes", "chunk", "interpret"),
 )
 def _registration_scan_fused(
@@ -633,13 +689,39 @@ class ProbabilisticRegistration:
         )
         self.current_iteration += 1
 
+    def _consume_chunk(self, outs, chunk: int, iter_start: float) -> bool:
+        """Host bookkeeping for a chunk of fused outer iterations.
+
+        The first row is always consumed (convergence was checked at the
+        chunk boundary); later rows re-check exactly like the single-step
+        loop (cc:65,138-158) and the overshoot is discarded. Returns True
+        when convergence fired mid-chunk.
+        """
+        import time
+
+        qs, ts, ics, fcs, nits, nsucc, ncorr = outs
+        per_iter = (time.perf_counter() - iter_start) / chunk
+        self._process_iteration(
+            qs[0], ts[0], ics[0], fcs[0], nits[0], nsucc[0], ncorr[0], per_iter
+        )
+        for j in range(1, chunk):
+            if self.has_converged():
+                return True
+            self._process_iteration(
+                qs[j], ts[j], ics[j], fcs[j], nits[j], nsucc[j], ncorr[j], per_iter
+            )
+        return False
+
     def _align_loop(self) -> np.ndarray:
         import time
 
         p = self.params
         q0 = jnp.asarray(p.initial_rotation, dtype=self.dtype)
         t0 = jnp.asarray(p.initial_translation, dtype=self.dtype)
-        chunk = max(1, int(p.outer_chunk)) if self._grid is not None else 1
+        chunk = max(1, int(p.outer_chunk))
+        use_pallas = p.search_impl == "pallas" and jax.default_backend() == "tpu"
+        if use_pallas:
+            chunk = 1  # the standalone Pallas engine has no scan wrapper
         lm_config = self._lm_config
         if p.trace_inner:
             # Per-LM-iteration diagnostics need the un-chunked single-step
@@ -679,7 +761,7 @@ class ProbabilisticRegistration:
                     chunk=fchunk,
                     interpret=self._fused_interpret,
                 )
-                qs, ts, ics, fcs, nits, nsucc, ncorr, ovf = jax.device_get(outs)
+                *rows, ovf = jax.device_get(outs)
                 if int(np.sum(ovf)) > 0:
                     # Pathologically scattered sources blew the 2N group
                     # budget: no results were consumed — redo this chunk (and
@@ -690,17 +772,7 @@ class ProbabilisticRegistration:
                         "XLA grid engine for this pair\n"
                     )
                     continue
-                per_iter = (time.perf_counter() - iter_start) / fchunk
-                self._process_iteration(
-                    qs[0], ts[0], ics[0], fcs[0], nits[0], nsucc[0], ncorr[0], per_iter
-                )
-                for j in range(1, fchunk):
-                    if self.has_converged():
-                        converged = True
-                        break
-                    self._process_iteration(
-                        qs[j], ts[j], ics[j], fcs[j], nits[j], nsucc[j], ncorr[j], per_iter
-                    )
+                converged = self._consume_chunk(rows, fchunk, iter_start)
                 continue
             if self._grid is not None and chunk > 1:
                 g = self._grid
@@ -725,21 +797,29 @@ class ProbabilisticRegistration:
                     chunk=chunk,
                     select_impl=p.search_select,
                 )
-                qs, ts, ics, fcs, nits, nsucc, ncorr = jax.device_get(outs)
-                per_iter = (time.perf_counter() - iter_start) / chunk
-                # First row is always consumed (convergence was checked at the
-                # chunk boundary); later rows re-check exactly like the
-                # single-step loop (cc:65,138-158) and discard the overshoot.
-                self._process_iteration(
-                    qs[0], ts[0], ics[0], fcs[0], nits[0], nsucc[0], ncorr[0], per_iter
+                converged = self._consume_chunk(
+                    jax.device_get(outs), chunk, iter_start
                 )
-                for j in range(1, chunk):
-                    if self.has_converged():
-                        converged = True
-                        break
-                    self._process_iteration(
-                        qs[j], ts[j], ics[j], fcs[j], nits[j], nsucc[j], ncorr[j], per_iter
-                    )
+                continue
+            if self._grid is None and chunk > 1 and not use_pallas:
+                outs = _registration_scan_brute(
+                    self._filtered_src_dev,
+                    self._target_dev,
+                    self._src_valid,
+                    self._tgt_valid,
+                    q_cum,
+                    t_cum_dev,
+                    q0,
+                    t0,
+                    k=p.max_neighbours,
+                    radius=p.radius,
+                    lm_config=self._lm_config,
+                    target_tile=p.search_target_tile,
+                    chunk=chunk,
+                )
+                converged = self._consume_chunk(
+                    jax.device_get(outs), chunk, iter_start
+                )
                 continue
             if self._grid is not None:
                 g = self._grid
@@ -764,10 +844,6 @@ class ProbabilisticRegistration:
                     select_impl=p.search_select,
                 )
             else:
-                use_pallas = (
-                    p.search_impl == "pallas"
-                    and jax.default_backend() == "tpu"
-                )
                 step_fn = (
                     _registration_step_pallas if use_pallas else _registration_step
                 )

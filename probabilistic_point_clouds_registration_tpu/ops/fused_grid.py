@@ -129,28 +129,75 @@ def dilate_cells_host(grid_host: dict) -> dict | None:
         pos = np.minimum(pos, u - 1)
         hit = inb & (cell_ids[pos] == nb_lin)
         nrows = np.where(hit, pos, -1).astype(np.int32)
+
+    # Largest real candidate-union over all windows: the packed lane width.
+    # Typically ~5x smaller than 27*capacity (bunny 35k: 262 vs 1728) —
+    # occupancy variance means most bucket slots are padding, and the select
+    # kernel's extraction cost is proportional to lane width.
+    counts = (grid_host["bucket_idx"] >= 0).sum(axis=1)
+    counts_pad = np.concatenate([counts, [0]])
+    union = counts_pad[np.where(nrows >= 0, nrows, len(counts))].sum(axis=1)
+    max_union = int(union.max()) if union.size else 0
     return {
         "nrows": nrows,  # (UD, 27) int32
         "lut_d": lut_d,
         "dims_d": dims_d.astype(np.int32),
         "origin_d": grid_host["origin"] - grid_host["cell_size"],
         "n_dilated": ud,
+        "max_union": max_union,
     }
 
 
 @partial(jax.jit, static_argnames=("capacity", "n_lanes"))
 def _assemble_prepack(bucket_pts, bucket_idx, nrows, *, capacity: int, n_lanes: int):
-    """Device assembly of the candidate windows from the bucket tensors."""
+    """Device assembly of the candidate windows from the bucket tensors.
+
+    When ``n_lanes`` is below the raw 27*capacity width, each window is
+    COMPACTED: live slots sort to the front (stable in (neighbor-offset,
+    bucket-slot) order, so engine tie-order parity is preserved) and the
+    dead-slot tail beyond the largest real union is sliced away — the select
+    kernel's per-row extraction cost is proportional to this width.
+    """
     ud = nrows.shape[0]
     dtype = bucket_pts.dtype
     safe = jnp.maximum(nrows, 0)
     pts = bucket_pts[safe]  # (UD, 27, cap, 3)
     idx = bucket_idx[safe]  # (UD, 27, cap)
     idx = jnp.where(nrows[..., None] < 0, -1, idx)
-    pts = jnp.where((idx < 0)[..., None], jnp.asarray(_BIG, dtype), pts)
-    flat_idx = idx.reshape(ud, 27 * capacity)
-    flat_xyz = jnp.transpose(pts.reshape(ud, 27 * capacity, 3), (0, 2, 1))
-    pad = n_lanes - 27 * capacity
+    l_full = 27 * capacity
+    flat_idx = idx.reshape(ud, l_full)
+    flat_pts = pts.reshape(ud, l_full, 3)
+    if n_lanes < l_full:
+        # Closed-form packed gather map — no sort needed: within each bucket
+        # the live slots are already contiguous from slot 0, so packed
+        # position p of window u maps to (neighbor j, slot p - start_j) where
+        # start_j is the exclusive cumsum of live counts. (A per-pair device
+        # argsort over (UD, 27*cap) measured ~170 ms — more than the kernel
+        # saving it enabled.)
+        cnt = jnp.sum(idx >= 0, axis=2).astype(jnp.int32)  # (UD, 27)
+        starts = jnp.cumsum(cnt, axis=1) - cnt  # exclusive prefix
+        total = jnp.sum(cnt, axis=1)  # (UD,)
+        p = jnp.arange(n_lanes, dtype=jnp.int32)
+        owner = (
+            jnp.sum(
+                starts[:, None, :] <= p[None, :, None], axis=2, dtype=jnp.int32
+            )
+            - 1
+        )  # (UD, n_lanes): last neighbor whose start <= p
+        owner = jnp.clip(owner, 0, 26)
+        slot = p[None, :] - jnp.take_along_axis(starts, owner, axis=1)
+        lane = owner * capacity + slot
+        live = p[None, :] < total[:, None]
+        lane = jnp.where(live, lane, 0)
+        flat_idx = jnp.where(
+            live, jnp.take_along_axis(flat_idx, lane, axis=1), -1
+        )
+        flat_pts = jnp.take_along_axis(flat_pts, lane[..., None], axis=1)
+        pad = 0
+    else:
+        pad = n_lanes - l_full
+    flat_pts = jnp.where((flat_idx < 0)[..., None], jnp.asarray(_BIG, dtype), flat_pts)
+    flat_xyz = jnp.transpose(flat_pts, (0, 2, 1))
     cand_xyz = jnp.pad(flat_xyz, ((0, 1), (0, 0), (0, pad)),
                        constant_values=_BIG)
     cand_idx = jnp.pad(flat_idx, ((0, 1), (0, pad)), constant_values=-1)
@@ -168,7 +215,12 @@ def build_prepack(grid_host: dict, device_grid) -> PrepackedGrid | None:
     if dil is None:
         return None
     capacity = grid_host["capacity"]
-    n_lanes = round_up(27 * capacity, 128)
+    # Packed lane width: the largest real candidate union (rounded to the
+    # 128-lane tile), never more than the raw 27*capacity window.
+    n_lanes = min(
+        round_up(27 * capacity, 128),
+        round_up(max(dil["max_union"], 128), 128),
+    )
     dev = jax.device_put(
         {
             "nrows": dil["nrows"],
