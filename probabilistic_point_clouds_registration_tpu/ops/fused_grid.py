@@ -159,22 +159,20 @@ def _assemble_prepack(bucket_pts, bucket_idx, nrows, *, capacity: int, n_lanes: 
     kernel's per-row extraction cost is proportional to this width.
     """
     ud = nrows.shape[0]
+    u = bucket_pts.shape[0]
     dtype = bucket_pts.dtype
-    safe = jnp.maximum(nrows, 0)
-    pts = bucket_pts[safe]  # (UD, 27, cap, 3)
-    idx = bucket_idx[safe]  # (UD, 27, cap)
-    idx = jnp.where(nrows[..., None] < 0, -1, idx)
     l_full = 27 * capacity
-    flat_idx = idx.reshape(ud, l_full)
-    flat_pts = pts.reshape(ud, l_full, 3)
     if n_lanes < l_full:
-        # Closed-form packed gather map — no sort needed: within each bucket
-        # the live slots are already contiguous from slot 0, so packed
-        # position p of window u maps to (neighbor j, slot p - start_j) where
-        # start_j is the exclusive cumsum of live counts. (A per-pair device
-        # argsort over (UD, 27*cap) measured ~170 ms — more than the kernel
-        # saving it enabled.)
-        cnt = jnp.sum(idx >= 0, axis=2).astype(jnp.int32)  # (UD, 27)
+        # Closed-form packed gather — no sort, no (UD, 27*cap) intermediates:
+        # within each bucket the live slots are contiguous from slot 0, so
+        # packed position p of window u maps to (neighbor j, slot p - start_j)
+        # where start_j is the exclusive cumsum of live counts, and the value
+        # comes straight out of the FLAT bucket tensors. (A per-pair device
+        # argsort over (UD, 27*cap) measured ~170 ms; the intermediate-
+        # materializing variant ~50 ms.)
+        safe = jnp.maximum(nrows, 0)  # (UD, 27)
+        cnt_cell = jnp.sum(bucket_idx >= 0, axis=1).astype(jnp.int32)  # (U,)
+        cnt = jnp.where(nrows >= 0, cnt_cell[safe], 0)  # (UD, 27)
         starts = jnp.cumsum(cnt, axis=1) - cnt  # exclusive prefix
         total = jnp.sum(cnt, axis=1)  # (UD,)
         p = jnp.arange(n_lanes, dtype=jnp.int32)
@@ -186,15 +184,18 @@ def _assemble_prepack(bucket_pts, bucket_idx, nrows, *, capacity: int, n_lanes: 
         )  # (UD, n_lanes): last neighbor whose start <= p
         owner = jnp.clip(owner, 0, 26)
         slot = p[None, :] - jnp.take_along_axis(starts, owner, axis=1)
-        lane = owner * capacity + slot
+        gslot = jnp.take_along_axis(safe, owner, axis=1) * capacity + slot
         live = p[None, :] < total[:, None]
-        lane = jnp.where(live, lane, 0)
-        flat_idx = jnp.where(
-            live, jnp.take_along_axis(flat_idx, lane, axis=1), -1
-        )
-        flat_pts = jnp.take_along_axis(flat_pts, lane[..., None], axis=1)
+        gslot = jnp.where(live, gslot, 0)
+        flat_idx = jnp.where(live, bucket_idx.reshape(u * capacity)[gslot], -1)
+        flat_pts = bucket_pts.reshape(u * capacity, 3)[gslot]
         pad = 0
     else:
+        pts = bucket_pts[jnp.maximum(nrows, 0)]  # (UD, 27, cap, 3)
+        idx = bucket_idx[jnp.maximum(nrows, 0)]  # (UD, 27, cap)
+        idx = jnp.where(nrows[..., None] < 0, -1, idx)
+        flat_idx = idx.reshape(ud, l_full)
+        flat_pts = pts.reshape(ud, l_full, 3)
         pad = n_lanes - l_full
     flat_pts = jnp.where((flat_idx < 0)[..., None], jnp.asarray(_BIG, dtype), flat_pts)
     flat_xyz = jnp.transpose(flat_pts, (0, 2, 1))
