@@ -1,0 +1,91 @@
+"""BASELINE config #4 stand-in: KITTI-scale full-resolution pair throughput.
+
+Registers a 131k-point LiDAR-like scan pair (io/synthetic.kitti_like; the
+repo ships no datasets) at the KITTI operating point — radius 0.5 m on a
+~150 m scene, k=20, fixed 10 outer iterations — and emits one JSON line
+with end-to-end seconds/pair. This is the sparse-grid regime (mean cell
+occupancy ~1): `auto` engine selection must pick the XLA grid engine with
+hierarchical selection, NOT the dense-scan fused engine.
+
+Usage: python benchmarks/bench_kitti.py [--points 131072] [--iters 10]
+       [--backend cpu]
+"""
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+from common import emit
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--points", type=int, default=131_072)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument("--backend", default=None)
+    args = ap.parse_args()
+
+    if args.backend:
+        import jax
+
+        jax.config.update("jax_platforms", args.backend)
+
+    from probabilistic_point_clouds_registration_tpu.core.params import (
+        RegistrationParams,
+    )
+    from probabilistic_point_clouds_registration_tpu.io.synthetic import kitti_like
+    from probabilistic_point_clouds_registration_tpu.models.registration import (
+        ProbabilisticRegistration,
+    )
+    from probabilistic_point_clouds_registration_tpu.utils.compile_cache import (
+        enable_persistent_compilation_cache,
+    )
+
+    enable_persistent_compilation_cache()
+
+    tgt = kitti_like(args.points)
+    theta = 0.01  # ~typical inter-scan rotation at 10 Hz
+    rot = np.array(
+        [
+            [np.cos(theta), -np.sin(theta), 0.0],
+            [np.sin(theta), np.cos(theta), 0.0],
+            [0.0, 0.0, 1.0],
+        ]
+    )
+    src = tgt @ rot.T + np.array([0.8, 0.1, 0.02])  # ~1 m ego-motion
+
+    params = RegistrationParams(
+        max_neighbours=20, dof=5.0, radius=0.5, n_iter=args.iters,
+        cost_drop_thresh=-1.0, dtype="float32", pad_multiple=4096,
+        max_inner_iterations=50, outer_chunk=args.iters,
+    )
+
+    def run_once():
+        t0 = time.perf_counter()
+        reg = ProbabilisticRegistration(src, tgt, params)
+        reg.align()
+        return time.perf_counter() - t0, reg
+
+    run_once()  # compile
+    best, reg = min((run_once() for _ in range(args.repeats)), key=lambda x: x[0])
+    emit(
+        {
+            "config": "kitti131k_pair",
+            "metric": "pair_seconds",
+            "value": round(best, 3),
+            "unit": "s",
+            "points": args.points,
+            "outer_iterations": args.iters,
+            "engine": "fused" if reg._prepack is not None
+            else ("grid" if reg._grid is not None else "brute"),
+            "mean_residual": float(reg.records[-1].final_cost)
+            / max(reg.records[-1].num_correspondences, 1),
+        }
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -60,6 +60,13 @@ class RegistrationParams:
     # Outer iterations fused into one device program (lax.scan) when the grid
     # engine is active; the host syncs once per chunk. 1 disables fusion.
     outer_chunk: int = 4
+    # Hot-cell overflow budget for the grid engines: bucket capacity is the
+    # smallest power of two that strands at most this many points in hotter
+    # cells; stranded points merge back via a streaming brute pass. Caps the
+    # candidate-window width against occupancy outliers (a single ~300-point
+    # near-sensor LiDAR cell would otherwise force capacity 512 for every
+    # source). 0 = pad to the hottest cell (no overflow pass).
+    grid_max_overflow: int = 4096
     # Candidate k-selection inside the grid engine: "auto" | "topk" |
     # "pallas" | "approx" (lax.approx_max_k, recall ~0.99 — faster, neighbor
     # sets may differ from FLANN's at the k-th slot).

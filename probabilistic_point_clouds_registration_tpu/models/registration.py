@@ -151,6 +151,8 @@ def _registration_step_grid(
     origin,
     dims,
     lut,
+    overflow_pts,
+    overflow_idx,
     q_cum,
     t_cum,
     q0,
@@ -167,9 +169,11 @@ def _registration_step_grid(
     The grid is built once per registration (the target never moves — unlike
     the reference, which rebuilds its kd-tree every outer iteration,
     cc:66-67); per-iteration search cost is O(N * local density) not O(N*M).
+    ``overflow_pts``/``overflow_idx`` (possibly zero-size) carry hot-cell
+    overflow, merged by a streaming brute pass (ops.grid.merge_overflow).
     """
     from ..core.se3 import quat_rotate
-    from ..ops.grid import grid_radius_search, pick_source_tile
+    from ..ops.grid import grid_radius_search, merge_overflow, pick_source_tile
 
     moved = quat_rotate(q_cum, filtered_source) + t_cum
     corr = grid_radius_search(
@@ -187,6 +191,11 @@ def _registration_step_grid(
         source_tile=pick_source_tile(capacity),
         select_impl=select_impl,
     )
+    if overflow_pts.shape[0]:
+        corr = merge_overflow(
+            corr, moved, overflow_pts, overflow_idx,
+            k=k, radius=radius, source_valid=source_valid,
+        )
     gathered = target[corr.indices]
     result = em_lm_solve(moved, gathered, corr.mask, q0, t0, lm_config)
     n_corr = jnp.sum(corr.mask)
@@ -207,6 +216,8 @@ def _registration_scan_grid(
     origin,
     dims,
     lut,
+    overflow_pts,
+    overflow_idx,
     q_cum,
     t_cum,
     q0,
@@ -232,7 +243,7 @@ def _registration_scan_grid(
     FLOPs, zero semantic drift).
     """
     from ..core.se3 import quat_rotate
-    from ..ops.grid import grid_radius_search, pick_source_tile
+    from ..ops.grid import grid_radius_search, merge_overflow, pick_source_tile
 
     def step(carry, _):
         qc, tc = carry
@@ -252,6 +263,11 @@ def _registration_scan_grid(
             source_tile=pick_source_tile(capacity),
             select_impl=select_impl,
         )
+        if overflow_pts.shape[0]:
+            corr = merge_overflow(
+                corr, moved, overflow_pts, overflow_idx,
+                k=k, radius=radius, source_valid=source_valid,
+            )
         gathered = target[corr.indices]
         res = em_lm_solve(moved, gathered, corr.mask, q0, t0, lm_config)
         qn = quat_normalize(res.q)
@@ -341,6 +357,8 @@ def _registration_scan_fused(
     lut_d,
     origin_d,
     dims_d,
+    overflow_pts,
+    overflow_idx,
     q_cum,
     t_cum,
     q0,
@@ -354,10 +372,12 @@ def _registration_scan_fused(
     interpret: bool = False,
 ):
     """``chunk`` outer iterations with the fused grouped Pallas engine
-    (ops/fused_grid.py). Emits a per-iteration overflow count; the host falls
-    back to the XLA grid engine for the pair when any is nonzero."""
+    (ops/fused_grid.py), plus the hot-cell overflow merge. Emits a
+    per-iteration group-overflow count; the host falls back to the XLA grid
+    engine for the pair when any is nonzero."""
     from ..core.se3 import quat_rotate
     from ..ops.fused_grid import fused_grid_search
+    from ..ops.grid import merge_overflow
 
     def step(carry, _):
         qc, tc = carry
@@ -375,6 +395,11 @@ def _registration_scan_fused(
             n_lanes=n_lanes,
             interpret=interpret,
         )
+        if overflow_pts.shape[0]:
+            corr = merge_overflow(
+                corr, moved, overflow_pts, overflow_idx,
+                k=k, radius=radius, source_valid=source_valid,
+            )
         gathered = target[corr.indices]
         res = em_lm_solve(moved, gathered, corr.mask, q0, t0, lm_config)
         qn = quat_normalize(res.q)
@@ -449,7 +474,10 @@ class ProbabilisticRegistration:
         tg, n_tgt = pad_cloud(target, params.pad_multiple, pad_value=0.0)
         grid = None
         if params.search_impl in ("auto", "grid", "fused"):
-            grid = build_grid_host(tg, params.radius, num_valid=n_tgt)
+            grid = build_grid_host(
+                tg, params.radius, num_valid=n_tgt,
+                max_overflow=params.grid_max_overflow,
+            )
         return {"target_cloud": target, "tg": tg, "n_tgt": n_tgt, "grid": grid}
 
     def __init__(
@@ -525,6 +553,10 @@ class ProbabilisticRegistration:
                 }
                 bundle["grid"]["bucket_pts"] = grid["bucket_pts"].astype(np_dtype)
                 bundle["grid"]["origin"] = grid["origin"].astype(np_dtype)
+                if "overflow_pts" in grid:
+                    bundle["grid"]["overflow_pts"] = grid["overflow_pts"].astype(
+                        np_dtype
+                    )
 
         dev = jax.device_put(bundle)
         self._filtered_src_dev = dev["src"]
@@ -546,10 +578,19 @@ class ProbabilisticRegistration:
                 cell_size=grid["cell_size"],
                 num_valid=grid["num_valid"],
                 lut=g.get("lut"),
+                overflow_pts=g.get("overflow_pts"),
+                overflow_idx=g.get("overflow_idx"),
             )
+            if self._grid.overflow_pts is not None:
+                self._ov_pts = self._grid.overflow_pts
+                self._ov_idx = self._grid.overflow_idx
+            else:
+                self._ov_pts = jnp.zeros((0, 3), self.dtype)
+                self._ov_idx = jnp.zeros((0,), jnp.int32)
+            n_over = self._ov_pts.shape[0]
             self.out << (
                 f"Target grid: {self._grid.cell_ids.shape[0]} occupied cells, "
-                f"capacity {self._grid.capacity}\n"
+                f"capacity {self._grid.capacity}, overflow {n_over}\n"
             )
 
         # Fused grouped Pallas engine (ops/fused_grid.py): dense scans on TPU.
@@ -750,6 +791,8 @@ class ProbabilisticRegistration:
                     pre.lut_d,
                     pre.origin_d,
                     pre.dims_d,
+                    self._ov_pts,
+                    self._ov_idx,
                     q_cum,
                     t_cum_dev,
                     q0,
@@ -786,6 +829,8 @@ class ProbabilisticRegistration:
                     g.origin,
                     g.dims,
                     g.lut,
+                    self._ov_pts,
+                    self._ov_idx,
                     q_cum,
                     t_cum_dev,
                     q0,
@@ -833,6 +878,8 @@ class ProbabilisticRegistration:
                     g.origin,
                     g.dims,
                     g.lut,
+                    self._ov_pts,
+                    self._ov_idx,
                     q_cum,
                     t_cum_dev,
                     q0,

@@ -52,14 +52,17 @@ class HashGrid(NamedTuple):
       bucket_idx: (U, capacity) original target index per slot; -1 = padding.
       cell_ids: (U,) sorted linear ids of occupied cells (searchsorted
         fallback when ``lut`` is None).
-      capacity: static int — max members in any cell, rounded up to a
-        multiple of 8 (pow2 above 64; see _quantize_capacity).
+      capacity: static int — quantile-capped cell occupancy, pow2-quantized
+        (see _quantize_capacity / the overflow design in build_grid_host).
       origin: (3,) grid origin (min corner of the target bbox).
       dims: (3,) int32 grid dimensions.
       cell_size: float cell edge length (== search radius).
       num_valid: number of real (non-padding) target points.
       lut: (dims prod,) int32 dense linear-cell-id -> occupied-cell row
         (-1 = empty), or None for grids too large to materialize densely.
+      overflow_pts / overflow_idx: points of cells hotter than ``capacity``
+        ((Op, 3) coords + (Op,) original rows, -1 = padding), searched by a
+        streaming brute pass and merged into the top-k; None when empty.
     """
 
     bucket_pts: jnp.ndarray
@@ -71,6 +74,8 @@ class HashGrid(NamedTuple):
     cell_size: float
     num_valid: int
     lut: jnp.ndarray | None
+    overflow_pts: jnp.ndarray | None = None
+    overflow_idx: jnp.ndarray | None = None
 
 
 def _quantize_capacity(cap: int) -> int:
@@ -86,7 +91,11 @@ def _quantize_capacity(cap: int) -> int:
 
 
 def build_grid_host(
-    target: np.ndarray, cell_size: float, *, num_valid: int | None = None
+    target: np.ndarray,
+    cell_size: float,
+    *,
+    num_valid: int | None = None,
+    max_overflow: int = 0,
 ) -> dict | None:
     """Host-side grid build: all-numpy, no device transfers.
 
@@ -96,6 +105,15 @@ def build_grid_host(
     a grid would be invalid or useless: degenerate cell size, a grid whose
     linear id overflows int32, or occupancy so high that 27 * capacity >= M
     (brute force is cheaper).
+
+    ``max_overflow`` > 0 enables quantile capacity: instead of padding every
+    bucket to the HOTTEST cell's occupancy (a single near-sensor LiDAR cell
+    with ~300 returns would force capacity 512 and a 13k-wide candidate
+    window for every source), capacity is the smallest power of two whose
+    clipped-out points number at most ``max_overflow``; those points land in
+    ``overflow_pts``/``overflow_idx`` and the search engines merge them back
+    through a streaming brute pass (ops.grid.merge_overflow) — identical
+    neighbor sets, bounded window width.
     """
     target = np.asarray(target, dtype=np.float64)
     m_total = target.shape[0]
@@ -117,14 +135,29 @@ def build_grid_host(
         lin_sorted, return_index=True, return_counts=True
     )
     capacity = _quantize_capacity(int(counts.max()))
+    if max_overflow > 0:
+        # Engage the overflow cap only under pathological occupancy skew —
+        # when the hottest cell is far beyond the p99 occupancy (near-sensor
+        # LiDAR blobs) or the max-occupancy capacity would fail the
+        # profitability check outright. A healthy grid keeps full capacity
+        # and pays no per-iteration overflow merge.
+        hot_cap = _quantize_capacity(int(np.ceil(8 * np.percentile(counts, 99))))
+        if capacity > hot_cap or 27 * capacity >= max(n, 1):
+            cap = 8
+            while cap < capacity and np.maximum(counts - cap, 0).sum() > max_overflow:
+                cap *= 2
+            capacity = min(cap, capacity)
     if 27 * capacity >= max(n, 1):
         return None  # occupancy too high for the grid to pay off
 
     u = cell_ids.shape[0]
     # Materialized padded buckets: contiguous per-cell coordinate rows.
+    # Points past ``capacity`` within their cell become overflow.
+    cell_row = np.searchsorted(cell_ids, lin_sorted)
+    slot_of = np.arange(n) - start[cell_row]
+    in_cap = slot_of < capacity
     bucket_idx = np.full((u, capacity), -1, dtype=np.int32)
-    slot_of = np.arange(n) - start[np.searchsorted(cell_ids, lin_sorted)]
-    bucket_idx[np.searchsorted(cell_ids, lin_sorted), slot_of] = order.astype(np.int32)
+    bucket_idx[cell_row[in_cap], slot_of[in_cap]] = order[in_cap].astype(np.int32)
     bucket_pts = np.zeros((u, capacity, 3), dtype=target.dtype)
     live = bucket_idx >= 0
     bucket_pts[live] = pts[bucket_idx[live]]
@@ -140,6 +173,16 @@ def build_grid_host(
         "cell_size": float(cell_size),
         "num_valid": n,
     }
+    n_over = int((~in_cap).sum())
+    if n_over:
+        op = round_up(n_over, 128)
+        ov_rows = order[~in_cap]
+        overflow_idx = np.full((op,), -1, dtype=np.int32)
+        overflow_idx[:n_over] = ov_rows.astype(np.int32)
+        overflow_pts = np.zeros((op, 3), dtype=target.dtype)
+        overflow_pts[:n_over] = pts[ov_rows]
+        out["overflow_pts"] = overflow_pts
+        out["overflow_idx"] = overflow_idx
     if dims_prod <= _MAX_DENSE_LUT_CELLS:
         lut_np = np.full((dims_prod,), -1, dtype=np.int32)
         lut_np[cell_ids] = np.arange(u, dtype=np.int32)
@@ -147,12 +190,20 @@ def build_grid_host(
     return out
 
 
-def build_grid(target: np.ndarray, cell_size: float, *, num_valid: int | None = None):
+def build_grid(
+    target: np.ndarray,
+    cell_size: float,
+    *,
+    num_valid: int | None = None,
+    max_overflow: int = 0,
+):
     """Build a :class:`HashGrid` (device arrays) over the target cloud.
 
     See :func:`build_grid_host` for the build itself and the None conditions.
     """
-    g = build_grid_host(target, cell_size, num_valid=num_valid)
+    g = build_grid_host(
+        target, cell_size, num_valid=num_valid, max_overflow=max_overflow
+    )
     if g is None:
         return None
     return HashGrid(
@@ -165,6 +216,62 @@ def build_grid(target: np.ndarray, cell_size: float, *, num_valid: int | None = 
         cell_size=g["cell_size"],
         num_valid=g["num_valid"],
         lut=jnp.asarray(g["lut"]) if "lut" in g else None,
+        overflow_pts=jnp.asarray(g["overflow_pts"]) if "overflow_pts" in g else None,
+        overflow_idx=jnp.asarray(g["overflow_idx"]) if "overflow_idx" in g else None,
+    )
+
+
+def merge_overflow(
+    corr: Correspondences,
+    source,
+    overflow_pts,
+    overflow_idx,
+    *,
+    k: int,
+    radius: float,
+    source_valid,
+):
+    """Merge hot-cell overflow candidates into grid search results.
+
+    Runs the streaming brute engine over the (small, padded) overflow set and
+    re-selects the global k best per source. Exact: grid buckets + overflow
+    partition the target, so the union of candidate sets equals the brute
+    engine's (ties at the k-th slot resolve in merge order, within the
+    tie-class invariant of tests/test_tie_sensitivity.py).
+    """
+    from .neighbors import topk_neighbors
+
+    op = overflow_pts.shape[0]
+    ko = min(k, op)
+    ov_idx_local, ov_d2, ov_found = topk_neighbors(
+        source,
+        overflow_pts,
+        k=ko,
+        source_valid=source_valid,
+        target_valid=overflow_idx >= 0,
+        source_tile=4096,
+        target_tile=min(2048, op),
+    )
+    r2 = jnp.asarray(radius, ov_d2.dtype) ** 2
+    ov_found &= ov_d2 <= r2
+    ov_rows = jnp.where(ov_found, overflow_idx[ov_idx_local], 0)
+
+    cand_d = jnp.concatenate(
+        [
+            jnp.where(corr.mask, corr.sq_dists, jnp.inf),
+            jnp.where(ov_found, ov_d2, jnp.inf).astype(corr.sq_dists.dtype),
+        ],
+        axis=1,
+    )
+    cand_i = jnp.concatenate([corr.indices, ov_rows], axis=1)
+    neg_best, args = lax.top_k(-cand_d, k)
+    best_d = -neg_best
+    best_i = jnp.take_along_axis(cand_i, args, axis=1)
+    found = jnp.isfinite(best_d)
+    return Correspondences(
+        indices=jnp.where(found, best_i, 0),
+        sq_dists=jnp.where(found, best_d, 0.0),
+        mask=found,
     )
 
 
@@ -217,7 +324,13 @@ def grid_radius_search(
     to re-gather from (parallel/grid_sharded.py).
     """
     if select_impl == "auto":
-        select_impl = "hier" if capacity <= 16 else "topk"
+        # The hierarchical two-stage selection wins on sparse TPU grids
+        # (v5e A/B); on CPU it measured ~2.5x SLOWER than flat top_k.
+        select_impl = (
+            "hier"
+            if capacity <= 16 and jax.default_backend() == "tpu"
+            else "topk"
+        )
     n = source.shape[0]
     dtype = source.dtype
     u = cell_ids.shape[0]
@@ -327,12 +440,13 @@ def pick_source_tile(capacity: int, budget_bytes: int = 192 * 1024 * 1024) -> in
 
 def grid_search(grid: HashGrid, source, *, k: int, radius: float, source_valid,
                 source_tile: int | None = None) -> Correspondences:
-    """Convenience wrapper unpacking :class:`HashGrid` into the jitted query."""
+    """Convenience wrapper unpacking :class:`HashGrid` into the jitted query
+    (plus the hot-cell overflow merge when the grid carries one)."""
     if abs(grid.cell_size - radius) > 1e-12:
         raise ValueError("grid cell_size must equal the search radius")
     if source_tile is None:
         source_tile = pick_source_tile(grid.capacity)
-    return grid_radius_search(
+    corr = grid_radius_search(
         source,
         grid.bucket_pts,
         grid.bucket_idx,
@@ -346,3 +460,9 @@ def grid_search(grid: HashGrid, source, *, k: int, radius: float, source_valid,
         source_valid=source_valid,
         source_tile=source_tile,
     )
+    if grid.overflow_pts is not None:
+        corr = merge_overflow(
+            corr, source, grid.overflow_pts,
+            grid.overflow_idx, k=k, radius=radius, source_valid=source_valid,
+        )
+    return corr
