@@ -91,7 +91,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--points", type=int, default=35_000)
     ap.add_argument("--iters", type=int, default=15)
-    ap.add_argument("--repeats", type=int, default=3)
+    # Min over several repeats: the tunneled-TPU service shows multi-minute
+    # windows of degraded latency (measured 2.1-3.2 pairs/s for identical
+    # code across one session); more samples make the min representative.
+    ap.add_argument("--repeats", type=int, default=5)
     ap.add_argument(
         "--record-cpu-baseline",
         action="store_true",

@@ -3,8 +3,8 @@
 Registers a batch of independent scan pairs with the batched engine
 (parallel/batch.py) on 1, 2, ... N devices of the available platform and
 reports pairs/s and scaling efficiency. On a CPU host set
-``XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu`` to
-validate the sharding; on a real pod slice the same script measures ICI/DCN
+``--backend cpu --host_devices 8`` to validate the sharding (env vars alone
+are overridden by this image's sitecustomize jax preload); on a real pod slice the same script measures ICI/DCN
 scaling (the single-tunneled-chip dev environment cannot).
 
 Usage: python benchmarks/bench_scaling.py [--pairs 8] [--points 8192]
@@ -24,9 +24,29 @@ def main():
     ap.add_argument("--pairs", type=int, default=8)
     ap.add_argument("--points", type=int, default=8192)
     ap.add_argument("--n_outer", type=int, default=8)
+    ap.add_argument("--backend", default=None,
+                    help="JAX platform override (e.g. cpu); the ambient "
+                         "environment may pin a tunneled TPU via sitecustomize")
+    ap.add_argument("--host_devices", type=int, default=None,
+                    help="with --backend cpu: number of virtual host devices")
+    ap.add_argument("--search_impl", default="brute",
+                    choices=["brute", "grid", "auto"],
+                    help="batched engine; brute keeps per-mesh-size compiles "
+                         "fast (scaling efficiency is engine-orthogonal; the "
+                         "grid path is parity-tested in tests/test_batch.py)")
     args = ap.parse_args()
 
+    import os
+
+    if args.host_devices:
+        flags = os.environ.get("XLA_FLAGS", "")
+        os.environ["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={args.host_devices}"
+        ).strip()
     import jax
+
+    if args.backend:
+        jax.config.update("jax_platforms", args.backend)
 
     from probabilistic_point_clouds_registration_tpu.models.em_lm import LMConfig
     from probabilistic_point_clouds_registration_tpu.parallel import make_mesh
@@ -48,7 +68,7 @@ def main():
             t0 = time.perf_counter()
             run_odometry_batched(
                 scans, k=10, radius=0.1, lm_config=cfg, n_outer=args.n_outer,
-                pad_multiple=1024, mesh=mesh,
+                pad_multiple=1024, mesh=mesh, search_impl=args.search_impl,
             )
             seconds = time.perf_counter() - t0
         # The batched engine pads the pair batch to a multiple of the device
