@@ -138,6 +138,17 @@ def main():
     vs_baseline = 1.0
     if BASELINE_FILE.exists():
         base = json.loads(BASELINE_FILE.read_text())
+        if (
+            base.get("points") not in (None, args.points)
+            or base.get("outer_iterations") not in (None, args.iters)
+        ):
+            print(
+                f"warning: baseline_cpu.json was recorded for "
+                f"{base.get('points')} pts / {base.get('outer_iterations')} "
+                f"iters, not {args.points}/{args.iters} — re-record with "
+                f"--record-cpu-baseline for a meaningful vs_baseline",
+                file=sys.stderr,
+            )
         if base.get("pairs_per_s"):
             vs_baseline = pairs_per_s / base["pairs_per_s"]
 

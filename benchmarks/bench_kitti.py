@@ -26,6 +26,8 @@ def main():
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--backend", default=None)
+    ap.add_argument("--max_overflow", type=int, default=4096,
+                    help="hot-cell overflow budget (params.grid_max_overflow)")
     args = ap.parse_args()
 
     if args.backend:
@@ -61,6 +63,7 @@ def main():
         max_neighbours=20, dof=5.0, radius=0.5, n_iter=args.iters,
         cost_drop_thresh=-1.0, dtype="float32", pad_multiple=4096,
         max_inner_iterations=50, outer_chunk=args.iters,
+        grid_max_overflow=args.max_overflow,
     )
 
     def run_once():
@@ -79,6 +82,7 @@ def main():
             "unit": "s",
             "points": args.points,
             "outer_iterations": args.iters,
+            "capacity": reg._grid.capacity if reg._grid is not None else 0,
             "engine": "fused" if reg._prepack is not None
             else ("grid" if reg._grid is not None else "brute"),
             "mean_residual": float(reg.records[-1].final_cost)
