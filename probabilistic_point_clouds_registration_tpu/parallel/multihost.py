@@ -7,9 +7,12 @@ hosts (normal-equation psums ride ICI within a slice and DCN across), and
 assemble host-local results globally.
 
 All functions degrade gracefully in single-process mode so library code can
-call them unconditionally. Multi-host paths cannot be exercised on a
-single-host CI — the virtual-device tests in tests/test_parallel.py validate
-the mesh programs themselves; these helpers only wire processes together.
+call them unconditionally. The multi-PROCESS path is exercised for real in
+tests/test_multihost.py: two OS processes with 4 virtual CPU devices each
+initialize the distributed runtime, span one global mesh, and reproduce the
+single-process sharded registration step bit-for-bit (cross-process psum +
+all-gather, Gloo-backed host trajectory gather). On a pod the same wiring
+spans physical hosts over DCN.
 """
 from __future__ import annotations
 
@@ -32,9 +35,19 @@ def initialize_multihost(
 
     Arguments default to the standard env vars (JAX_COORDINATOR_ADDRESS,
     JAX_NUM_PROCESSES, JAX_PROCESS_ID) / TPU metadata autodetection.
+
+    Must run before anything initializes the XLA backend — in particular,
+    do NOT probe ``jax.process_count()``/``jax.devices()`` first (that
+    initializes the backend and makes ``jax.distributed.initialize`` raise;
+    the distributed client handle is checked instead).
     """
-    if jax.process_count() > 1:
-        return True  # already initialized
+    try:
+        from jax._src import distributed as _dist
+
+        if _dist.global_state.client is not None:
+            return True  # already initialized
+    except (ImportError, AttributeError):  # pragma: no cover - jax internals
+        pass
     addr = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
     nproc = num_processes or os.environ.get("JAX_NUM_PROCESSES")
     if process_id is None and "JAX_PROCESS_ID" in os.environ:

