@@ -86,6 +86,39 @@ def _edge_residuals(q, t, edges_i, edges_j, rel_q_inv, rel_t, sqrt_w):
     return r * sqrt_w[:, None]
 
 
+def _conjugate_gradient(matvec, b, maxiter: int, rtol: float = 1e-5):
+    """Plain CG with explicit carries (matches scipy-style rtol stopping).
+
+    Replaces ``jax.scipy.sparse.linalg.cg``: its ``custom_linear_solve``
+    wrapper marks the solution varying under shard_map's vma analysis even
+    when every operand is replicated, which would force ``check_vma=False``
+    on the sharded pose-graph solver. Here the iterate/residual/direction
+    carries are ordinary replicated vectors (``matvec`` psums internally),
+    so the static replication proof goes through.
+    """
+    tol2 = (rtol * jnp.sqrt(jnp.sum(b * b))) ** 2
+
+    def cond(c):
+        _, _, _, rs, i = c
+        return jnp.logical_and(i < maxiter, rs > tol2)
+
+    def body(c):
+        x, r, p, rs, i = c
+        ap = matvec(p)
+        alpha = rs / jnp.sum(p * ap)
+        x = x + alpha * p
+        r = r - alpha * ap
+        rs_new = jnp.sum(r * r)
+        p = r + (rs_new / rs) * p
+        return (x, r, p, rs_new, i + 1)
+
+    x0 = jnp.zeros_like(b)
+    x, *_ = jax.lax.while_loop(
+        cond, body, (x0, b, b, jnp.sum(b * b), jnp.int32(0))
+    )
+    return x
+
+
 @partial(jax.jit, static_argnames=("config",))
 def optimize_pose_graph_qt(
     base_q,
@@ -137,9 +170,7 @@ def optimize_pose_graph_qt(
             return psum(jtjv) + config.damping * v
 
         g = psum(vjp(r0)[0])  # J^T r
-        delta, _ = jax.scipy.sparse.linalg.cg(
-            hvp, -g, maxiter=config.cg_iterations
-        )
+        delta = _conjugate_gradient(hvp, -g, config.cg_iterations)
         q_new, t_new = _retract(q, t, gauge(delta))
         q_new = jax.vmap(quat_normalize)(q_new)
         new_cost = total_cost(q_new, t_new)
@@ -213,6 +244,9 @@ def make_sharded_pose_graph_solver(mesh: jax.sharding.Mesh, config: PoseGraphCon
     Edge count must divide the points-axis size.
     """
     from ..parallel.mesh import POINTS_AXIS
+    from ..parallel.mesh import (
+        supports_structural_replication as _supports_structural_replication,
+    )
 
     P = jax.sharding.PartitionSpec
     cfg = config._replace(axis_name=POINTS_AXIS)
@@ -226,6 +260,8 @@ def make_sharded_pose_graph_solver(mesh: jax.sharding.Mesh, config: PoseGraphCon
         in_specs=(P(), P(), P(POINTS_AXIS), P(POINTS_AXIS), P(POINTS_AXIS),
                   P(POINTS_AXIS), P(POINTS_AXIS)),
         out_specs=(P(), P(), P()),
-        check_vma=False,  # psum-reduced outputs; parity tested on CPU mesh
+        # psum-reduced outputs are provably replicated under the vma
+        # checker; parity also tested on the CPU mesh.
+        check_vma=_supports_structural_replication(),
     )
     return jax.jit(sharded)

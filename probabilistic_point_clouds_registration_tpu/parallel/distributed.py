@@ -30,7 +30,7 @@ from jax import lax
 from ..core.se3 import quat_rotate
 from ..core.types import round_up
 from ..models.em_lm import LMConfig, LMResult, em_lm_solve
-from .mesh import POINTS_AXIS, TARGETS_AXIS
+from .mesh import POINTS_AXIS, TARGETS_AXIS, supports_structural_replication
 from .search import local_topk_merge
 
 
@@ -114,9 +114,8 @@ def make_sharded_registration_step(
                             trace=P()),
             num_correspondences=P(),
         ),
-        # Outputs are replicated (psum-reduced iterates / all-gather-merged
-        # search results) but the vma analysis can't prove it through the
-        # all_gather; cross-device parity is asserted in tests/test_parallel.py.
-        check_vma=False,
+        # Outputs are replicated (psum-reduced iterates / invariant-gather
+        # merged search results); provable when jax has all_gather_invariant.
+        check_vma=supports_structural_replication(),
     )
     return jax.jit(sharded)

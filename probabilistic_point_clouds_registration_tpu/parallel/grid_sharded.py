@@ -35,7 +35,7 @@ from ..core.se3 import quat_rotate
 from ..core.types import round_up
 from ..models.em_lm import LMConfig, LMResult, em_lm_solve
 from ..ops.grid import _quantize_capacity
-from .mesh import POINTS_AXIS, TARGETS_AXIS
+from .mesh import POINTS_AXIS, TARGETS_AXIS, all_gather_replicated, supports_structural_replication
 
 _INT32_MAX = 2**31 - 1
 
@@ -186,9 +186,9 @@ def make_sharded_grid_registration_step(
             return_points=True,
         )
         local_d = jnp.where(corr.mask, corr.sq_dists, jnp.inf)
-        all_d = lax.all_gather(local_d, TARGETS_AXIS)
-        all_i = lax.all_gather(corr.indices, TARGETS_AXIS)
-        all_p = lax.all_gather(pts, TARGETS_AXIS)
+        all_d = all_gather_replicated(local_d, TARGETS_AXIS)
+        all_i = all_gather_replicated(corr.indices, TARGETS_AXIS)
+        all_p = all_gather_replicated(pts, TARGETS_AXIS)
         best_i, best_d, found, best_p = merge_topk(all_d, all_i, all_p, k=k)
         result = em_lm_solve(moved, best_p, found, q0, t0, cfg)
         n_corr = lax.psum(jnp.sum(found.astype(jnp.int32)), POINTS_AXIS)
@@ -216,9 +216,9 @@ def make_sharded_grid_registration_step(
                             trace=P()),
             num_correspondences=P(),
         ),
-        # Merge outputs are replicated along "targets" and psum-reduced along
-        # "points", but vma can't prove it through all_gather; cross-device
-        # parity is asserted in tests/test_grid_sharded.py.
-        check_vma=False,
+        # Merge outputs are replicated along "targets" (invariant gather)
+        # and psum-reduced along "points" — statically provable when jax has
+        # all_gather_invariant; parity also asserted in tests/test_grid_sharded.py.
+        check_vma=supports_structural_replication(),
     )
     return jax.jit(sharded)

@@ -64,3 +64,31 @@ def targets_spec() -> jax.sharding.PartitionSpec:
 
 def replicated_spec() -> jax.sharding.PartitionSpec:
     return jax.sharding.PartitionSpec()
+
+
+def all_gather_replicated(x, axis_name):
+    """``lax.all_gather`` whose output the vma checker can PROVE replicated.
+
+    jax's plain ``all_gather`` marks its output varying over the gathered
+    axis even though every device holds identical values, which forces
+    ``check_vma=False`` on any shard_map returning merged results. The
+    invariant variant keeps the static replication proof; fall back to the
+    plain op (callers then need check_vma=False) on jax versions without it.
+    """
+    try:
+        from jax._src.lax.parallel import all_gather_invariant
+    except ImportError:  # pragma: no cover - older jax
+        import jax
+
+        return jax.lax.all_gather(x, axis_name)
+    return all_gather_invariant(x, axis_name)
+
+
+def supports_structural_replication() -> bool:
+    """True when this jax provides all_gather_invariant (=> check_vma=True)."""
+    try:
+        from jax._src.lax.parallel import all_gather_invariant  # noqa: F401
+
+        return True
+    except ImportError:  # pragma: no cover - older jax
+        return False

@@ -22,7 +22,7 @@ from jax import lax
 
 from ..core.types import Correspondences
 from ..ops.neighbors import topk_neighbors
-from .mesh import TARGETS_AXIS
+from .mesh import TARGETS_AXIS, all_gather_replicated, supports_structural_replication
 
 _BIG = jnp.inf
 
@@ -65,8 +65,8 @@ def local_topk_merge(
     gidx = idx + shard * m_local  # globalize tile-local indices
 
     # All-gather the D candidate sets and re-select the global k best.
-    all_d = lax.all_gather(jnp.where(found, sq, _BIG), axis_name)  # (D, N, k)
-    all_i = lax.all_gather(gidx, axis_name)  # (D, N, k)
+    all_d = all_gather_replicated(jnp.where(found, sq, _BIG), axis_name)  # (D, N, k)
+    all_i = all_gather_replicated(gidx, axis_name)  # (D, N, k)
     d = all_d.shape[0]
     n = source.shape[0]
     cand_d = jnp.moveaxis(all_d, 0, 1).reshape(n, d * k)
@@ -79,7 +79,7 @@ def local_topk_merge(
     if not gather_points:
         return best_i, best_d, merged_found
     local_pts = target_shard[idx]  # (N, k, 3) candidate coordinates
-    all_p = lax.all_gather(local_pts, axis_name)  # (D, N, k, 3)
+    all_p = all_gather_replicated(local_pts, axis_name)  # (D, N, k, 3)
     cand_p = jnp.moveaxis(all_p, 0, 1).reshape(n, d * k, 3)
     best_p = jnp.take_along_axis(cand_p, args[..., None], axis=1)
     return best_i, best_d, merged_found, best_p
@@ -121,10 +121,9 @@ def make_target_sharded_search(
         mesh=mesh,
         in_specs=(P(), P(TARGETS_AXIS), P(), P(TARGETS_AXIS)),
         out_specs=Correspondences(indices=P(), sq_dists=P(), mask=P()),
-        # The merge's all_gather output is identical on every device but
-        # JAX's vma tracking conservatively marks it varying, so static
-        # replication can't be inferred; tests/test_parallel.py verifies the
-        # actual cross-device parity.
-        check_vma=False,
+        # Structural replication: the invariant all_gather variant lets the
+        # vma checker PROVE the merged outputs replicated (older jax without
+        # it falls back to runtime parity tests, tests/test_parallel.py).
+        check_vma=supports_structural_replication(),
     )
     return jax.jit(sharded)
