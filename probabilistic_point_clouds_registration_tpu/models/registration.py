@@ -354,6 +354,7 @@ def _registration_scan_fused(
     source_valid,
     cand_xyz,
     cand_idx,
+    width_lut,
     lut_d,
     origin_d,
     dims_d,
@@ -387,6 +388,7 @@ def _registration_scan_fused(
             source_valid,
             cand_xyz,
             cand_idx,
+            width_lut,
             lut_d,
             origin_d,
             dims_d,
@@ -788,6 +790,7 @@ class ProbabilisticRegistration:
                     self._src_valid,
                     pre.cand_xyz,
                     pre.cand_idx,
+                    pre.width_lut,
                     pre.lut_d,
                     pre.origin_d,
                     pre.dims_d,

@@ -70,6 +70,7 @@ class PrepackedGrid(NamedTuple):
 
     cand_xyz: jnp.ndarray
     cand_idx: jnp.ndarray
+    width_lut: jnp.ndarray  # (UD+1,) int32 per-window kernel width (lanes)
     lut_d: jnp.ndarray
     origin_d: jnp.ndarray
     dims_d: jnp.ndarray
@@ -138,6 +139,28 @@ def dilate_cells_host(grid_host: dict) -> dict | None:
     counts_pad = np.concatenate([counts, [0]])
     union = counts_pad[np.where(nrows >= 0, nrows, len(counts))].sum(axis=1)
     max_union = int(union.max()) if union.size else 0
+
+    # Renumber dilated rows by DESCENDING union width. Sources are grouped in
+    # row order every iteration, so this makes the group sequence
+    # width-monotone: each select-kernel block then runs at (roughly) its own
+    # real width instead of the global maximum — the per-block width
+    # predication in _select_kernel.
+    perm = np.argsort(-union, kind="stable").astype(np.int32)
+    inv_perm = np.empty_like(perm)
+    inv_perm[perm] = np.arange(ud, dtype=np.int32)
+    nrows = nrows[perm]
+    union = union[perm]
+    lut_d = np.where(lut_d >= 0, inv_perm[np.maximum(lut_d, 0)], -1).astype(
+        np.int32
+    )
+    # Per-row kernel width (lanes, multiple of 128); dead row (appended by
+    # the prepack as row UD) gets width 0 so budget-padding blocks are free.
+    width_lut = np.concatenate(
+        [
+            (np.ceil(np.maximum(union, 1) / 128.0) * 128).astype(np.int32),
+            np.zeros((1,), np.int32),
+        ]
+    )
     return {
         "nrows": nrows,  # (UD, 27) int32
         "lut_d": lut_d,
@@ -145,6 +168,7 @@ def dilate_cells_host(grid_host: dict) -> dict | None:
         "origin_d": grid_host["origin"] - grid_host["cell_size"],
         "n_dilated": ud,
         "max_union": max_union,
+        "width_lut": width_lut,  # (UD+1,) int32
     }
 
 
@@ -230,6 +254,7 @@ def build_prepack(grid_host: dict, device_grid) -> PrepackedGrid | None:
             "origin_d": dil["origin_d"].astype(
                 np.dtype(device_grid.bucket_pts.dtype)
             ),
+            "width_lut": np.minimum(dil["width_lut"], n_lanes),
         }
     )
     cand_xyz, cand_idx = _assemble_prepack(
@@ -242,6 +267,7 @@ def build_prepack(grid_host: dict, device_grid) -> PrepackedGrid | None:
     return PrepackedGrid(
         cand_xyz=cand_xyz,
         cand_idx=cand_idx,
+        width_lut=dev["width_lut"],
         lut_d=dev["lut_d"],
         origin_d=dev["origin_d"],
         dims_d=dev["dims_d"],
@@ -251,11 +277,31 @@ def build_prepack(grid_host: dict, device_grid) -> PrepackedGrid | None:
     )
 
 
-def _select_kernel(xyz_ref, idx_ref, src_ref, outd_ref, outi_ref, *, k, kp, r2, n_lanes):
+def _width_limits(n_lanes: int, max_branches: int = 8) -> list[int]:
+    """Ascending lane-width limits for the kernel's predicated branches."""
+    nch = n_lanes // 128
+    if nch <= max_branches:
+        return [128 * c for c in range(1, nch + 1)]
+    step = round_up(n_lanes // max_branches, 128)
+    limits = list(range(step, n_lanes, step))
+    return limits + [n_lanes]
+
+
+def _select_kernel(wb_ref, xyz_ref, idx_ref, src_ref, outd_ref, outi_ref, *, k, kp, r2, n_lanes):
     """Distances + k-nearest extraction for BLOCK_GROUPS candidate windows.
 
     All arrays live in VMEM; the 20-round min-extraction that costs ~35 ms
     at HBM bandwidth in lax.top_k runs at VPU speed here.
+
+    The extraction cost is proportional to the processed lane width, and the
+    prepack sorts windows by descending REAL union width, so each block runs
+    exactly one predicated branch sized to its own max width (``wb_ref``,
+    SMEM) instead of the global maximum. Lanes beyond a window's union are
+    dead (d2 = inf) so narrower processing is bit-exact. Width-0 blocks
+    (group-budget padding beyond the real source count) write empty results
+    without touching the window at all. Loop-timed A/B on the 35k bench pair
+    (384 lanes): 6.82 -> 6.20 ms/iter (~9% — the extraction loop is no longer
+    the dominant phase at compacted widths; the win grows with lane count).
     """
     bg = xyz_ref.shape[0]
     bs = bg * GROUP
@@ -263,42 +309,58 @@ def _select_kernel(xyz_ref, idx_ref, src_ref, outd_ref, outi_ref, *, k, kp, r2, 
     # fail). Dead-slot coordinates are 1e30 so their d2 overflows to inf,
     # which the `live` mask then maps back onto this sentinel.
     big = jnp.float32(3e38)
-
-    def rep(x):  # (BG, L) -> (BS, L): window row j serves source rows 8j..8j+7
-        return jnp.broadcast_to(x[:, None, :], (bg, GROUP, n_lanes)).reshape(
-            bs, n_lanes
-        )
-
-    cx = rep(xyz_ref[:, 0, :])
-    cy = rep(xyz_ref[:, 1, :])
-    cz = rep(xyz_ref[:, 2, :])
-    ci = rep(idx_ref[:])
-    sx = src_ref[:, 0:1]
-    sy = src_ref[:, 1:2]
-    sz = src_ref[:, 2:3]
-    valid = src_ref[:, 3:4] > 0
-    dx = cx - sx
-    dy = cy - sy
-    dz = cz - sz
-    d2 = dx * dx + dy * dy + dz * dz
-    live = (ci >= 0) & valid & (d2 <= r2)
-    d2 = jnp.where(live, d2, big)
-
-    lane = lax.broadcasted_iota(jnp.int32, (bs, n_lanes), 1)
+    # Whole-array SMEM ref (Mosaic's (8,128) block divisibility rule forbids
+    # a (1,1) block); index the current block's width by program id.
+    wb = wb_ref[pl.program_id(0), 0]
     col = lax.broadcasted_iota(jnp.int32, (bs, kp), 1)
-    outd = jnp.full((bs, kp), big, jnp.float32)
-    outi = jnp.full((bs, kp), -1, jnp.int32)
-    for r in range(k):
-        m = jnp.min(d2, axis=1, keepdims=True)
-        amin = jnp.min(jnp.where(d2 == m, lane, n_lanes), axis=1, keepdims=True)
-        sel = lane == amin
-        chosen = jnp.sum(jnp.where(sel, ci, 0), axis=1, keepdims=True)
-        d2 = jnp.where(sel, big, d2)
-        hit = (col == r) & (m < big)
-        outd = jnp.where(hit, m, outd)
-        outi = jnp.where(hit, chosen, outi)
-    outd_ref[:] = outd
-    outi_ref[:] = outi
+
+    @pl.when(wb == 0)
+    def _dead_block():
+        outd_ref[:] = jnp.full((bs, kp), big, jnp.float32)
+        outi_ref[:] = jnp.full((bs, kp), -1, jnp.int32)
+
+    def extract(lim: int):
+        def rep(x):  # (BG, lim) -> (BS, lim): window row j serves rows 8j..8j+7
+            return jnp.broadcast_to(x[:, None, :], (bg, GROUP, lim)).reshape(
+                bs, lim
+            )
+
+        cx = rep(xyz_ref[:, 0, :lim])
+        cy = rep(xyz_ref[:, 1, :lim])
+        cz = rep(xyz_ref[:, 2, :lim])
+        ci = rep(idx_ref[:, :lim])
+        sx = src_ref[:, 0:1]
+        sy = src_ref[:, 1:2]
+        sz = src_ref[:, 2:3]
+        valid = src_ref[:, 3:4] > 0
+        dx = cx - sx
+        dy = cy - sy
+        dz = cz - sz
+        d2 = dx * dx + dy * dy + dz * dz
+        live = (ci >= 0) & valid & (d2 <= r2)
+        d2 = jnp.where(live, d2, big)
+
+        lane = lax.broadcasted_iota(jnp.int32, (bs, lim), 1)
+        outd = jnp.full((bs, kp), big, jnp.float32)
+        outi = jnp.full((bs, kp), -1, jnp.int32)
+        for r in range(k):
+            m = jnp.min(d2, axis=1, keepdims=True)
+            amin = jnp.min(jnp.where(d2 == m, lane, lim), axis=1, keepdims=True)
+            sel = lane == amin
+            chosen = jnp.sum(jnp.where(sel, ci, 0), axis=1, keepdims=True)
+            d2 = jnp.where(sel, big, d2)
+            hit = (col == r) & (m < big)
+            outd = jnp.where(hit, m, outd)
+            outi = jnp.where(hit, chosen, outi)
+        outd_ref[:] = outd
+        outi_ref[:] = outi
+
+    limits = _width_limits(n_lanes)
+    lo = 0
+    for i, lim in enumerate(limits):
+        cond = (wb > lo) if i == len(limits) - 1 else (wb > lo) & (wb <= lim)
+        pl.when(cond)(partial(extract, lim))
+        lo = lim
 
 
 @partial(
@@ -310,6 +372,7 @@ def fused_grid_search(
     source_valid,
     cand_xyz,
     cand_idx,
+    width_lut,
     lut_d,
     origin_d,
     dims_d,
@@ -372,6 +435,13 @@ def fused_grid_search(
     # 3. one window gather per group (contiguous multi-KB rows).
     win_xyz = cand_xyz[step_rows]  # (NG, 3, L)
     win_idx = cand_idx[step_rows]  # (NG, L)
+    # Per-block max kernel width (windows are width-sorted, so blocks are
+    # near-homogeneous); width 0 = all-padding block, skipped by the kernel.
+    w_blk = jnp.max(
+        width_lut[step_rows].reshape(ng // BLOCK_GROUPS, BLOCK_GROUPS),
+        axis=1,
+        keepdims=True,
+    )
 
     kp = 32 if k <= 32 else round_up(k, 128)
     kernel = partial(
@@ -382,6 +452,7 @@ def fused_grid_search(
         kernel,
         grid=(ng // BLOCK_GROUPS,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(
                 (BLOCK_GROUPS, 3, n_lanes), lambda i: (i, 0, 0),
                 memory_space=pltpu.VMEM,
@@ -399,7 +470,7 @@ def fused_grid_search(
             jax.ShapeDtypeStruct((s_pad, kp), jnp.int32),
         ],
         interpret=interpret,
-    )(win_xyz.astype(jnp.float32), win_idx, padded.astype(jnp.float32))
+    )(w_blk, win_xyz.astype(jnp.float32), win_idx, padded.astype(jnp.float32))
 
     # 4. back to original source order. Overflowed sources (dst >= s_pad,
     # dropped by the scatters above) keep the s_pad sentinel and yield empty
