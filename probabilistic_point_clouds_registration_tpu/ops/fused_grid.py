@@ -94,35 +94,49 @@ def dilate_cells_host(grid_host: dict) -> dict | None:
     cell_ids = grid_host["cell_ids"].astype(np.int64)
     u = cell_ids.shape[0]
     # Decode occupied cells, dilate by one in every direction (extended
-    # coords = original + 1 so the border ring is addressable).
-    x = cell_ids % dims[0]
+    # coords = original + 1 so the border ring is always addressable — no
+    # bounds mask needed). All index math stays in flat linear space: the
+    # 27-neighborhood of extended-linear base b is {b + off_lin} because the
+    # extended grid's border ring guarantees no axis wraps.
+    x = (cell_ids % dims[0]).astype(np.int32)
     rest = cell_ids // dims[0]
-    y = rest % dims[1]
-    z = rest // dims[1]
-    offs = np.stack(
-        np.meshgrid(*([np.arange(-1, 2)] * 3), indexing="ij"), -1
-    ).reshape(27, 3)
-    cells = np.stack([x, y, z], -1)
-    dil = (cells[:, None, :] + 1 + offs[None, :, :]).reshape(-1, 3)
-    keep = np.all((dil >= 0) & (dil < dims_d), axis=1)
-    dil = dil[keep]
-    dil_lin = dil[:, 0] + dims_d[0] * (dil[:, 1] + dims_d[1] * dil[:, 2])
-    d_cells = np.unique(dil_lin)
+    y = (rest % dims[1]).astype(np.int32)
+    z = (rest // dims[1]).astype(np.int32)
+    d0, d1 = int(dims_d[0]), int(dims_d[1])
+    # Offset enumeration order (x slowest, z fastest) is the tie order shared
+    # by every engine — keep it exactly.
+    ox, oy, oz = np.meshgrid(*([np.arange(-1, 2, dtype=np.int32)] * 3), indexing="ij")
+    off_lin = (ox + d0 * (oy + d1 * oz)).reshape(27)
+    base = (x + 1) + d0 * ((y + 1) + np.int32(d1) * (z + 1))
+    dil_lin = (base[:, None] + off_lin[None, :]).reshape(-1)
+    # Dense-flag unique: O(prod_d + 27u) beats sorting 27u linear ids.
+    flags = np.zeros((prod_d,), dtype=bool)
+    flags[dil_lin] = True
+    d_cells = np.flatnonzero(flags).astype(np.int64)
     ud = d_cells.shape[0]
 
     lut_d = np.full((prod_d,), -1, dtype=np.int32)
     lut_d[d_cells] = np.arange(ud, dtype=np.int32)
 
     # Original-grid row of each of the 27 neighbors of each dilated cell.
-    dx = d_cells % dims_d[0]
-    drest = d_cells // dims_d[0]
-    dy = drest % dims_d[1]
-    dz = drest // dims_d[1]
-    dc = np.stack([dx, dy, dz], -1) - 1  # back to original coords
-    nb = dc[:, None, :] + offs[None, :, :]  # (UD, 27, 3)
-    inb = np.all((nb >= 0) & (nb < dims), axis=-1)
-    nb_safe = np.clip(nb, 0, dims - 1)
-    nb_lin = nb_safe[..., 0] + dims[0] * (nb_safe[..., 1] + dims[1] * nb_safe[..., 2])
+    dx = (d_cells % d0).astype(np.int32)
+    drest = d_cells // d0
+    dy = (drest % d1).astype(np.int32)
+    dz = (drest // d1).astype(np.int32)
+    # Per-axis bounds in ORIGINAL coords (dilated cells can sit on the border
+    # ring); linear neighbor ids via the original grid's strides.
+    nx = dx[:, None] + (ox.reshape(27)[None, :] - 1)
+    ny = dy[:, None] + (oy.reshape(27)[None, :] - 1)
+    nz = dz[:, None] + (oz.reshape(27)[None, :] - 1)
+    inb = (
+        (nx >= 0) & (nx < dims[0]) & (ny >= 0) & (ny < dims[1])
+        & (nz >= 0) & (nz < dims[2])
+    )
+    nb_lin = (
+        np.clip(nx, 0, dims[0] - 1)
+        + np.int64(dims[0])
+        * (np.clip(ny, 0, dims[1] - 1) + np.int64(dims[1]) * np.clip(nz, 0, dims[2] - 1))
+    )
     if "lut" in grid_host:
         nrows = np.where(inb, grid_host["lut"][nb_lin], -1).astype(np.int32)
     else:
