@@ -201,13 +201,14 @@ def _assemble_prepack(bucket_pts, bucket_idx, nrows, *, capacity: int, n_lanes: 
     dtype = bucket_pts.dtype
     l_full = 27 * capacity
     if n_lanes < l_full:
-        # Closed-form packed gather — no sort, no (UD, 27*cap) intermediates:
-        # within each bucket the live slots are contiguous from slot 0, so
-        # packed position p of window u maps to (neighbor j, slot p - start_j)
-        # where start_j is the exclusive cumsum of live counts, and the value
-        # comes straight out of the FLAT bucket tensors. (A per-pair device
-        # argsort over (UD, 27*cap) measured ~170 ms; the intermediate-
-        # materializing variant ~50 ms.)
+        # Closed-form packed gather — no sort: within each bucket the live
+        # slots are contiguous from slot 0, so packed position p of window u
+        # maps to (neighbor j, slot p - start_j) where start_j is the
+        # exclusive cumsum of live counts. Values come from whole-bucket
+        # contiguous gathers (768 B rows at cap 64) followed by a within-row
+        # take_along_axis shuffle — per-element random gathers over the flat
+        # bucket tensors measured ~20% slower (21.4 vs 17.7 ms at 35k), and a
+        # per-pair device argsort over (UD, 27*cap) ~170 ms.
         safe = jnp.maximum(nrows, 0)  # (UD, 27)
         cnt_cell = jnp.sum(bucket_idx >= 0, axis=1).astype(jnp.int32)  # (U,)
         cnt = jnp.where(nrows >= 0, cnt_cell[safe], 0)  # (UD, 27)
@@ -222,11 +223,17 @@ def _assemble_prepack(bucket_pts, bucket_idx, nrows, *, capacity: int, n_lanes: 
         )  # (UD, n_lanes): last neighbor whose start <= p
         owner = jnp.clip(owner, 0, 26)
         slot = p[None, :] - jnp.take_along_axis(starts, owner, axis=1)
-        gslot = jnp.take_along_axis(safe, owner, axis=1) * capacity + slot
+        rel = owner * capacity + slot  # position within the window's own row
         live = p[None, :] < total[:, None]
-        gslot = jnp.where(live, gslot, 0)
-        flat_idx = jnp.where(live, bucket_idx.reshape(u * capacity)[gslot], -1)
-        flat_pts = bucket_pts.reshape(u * capacity, 3)[gslot]
+        rel = jnp.where(live, rel, 0)
+        pts = bucket_pts[safe]  # (UD, 27, cap, 3) contiguous bucket rows
+        idx = jnp.where(nrows[..., None] < 0, -1, bucket_idx[safe])
+        flat_idx = jnp.where(
+            live, jnp.take_along_axis(idx.reshape(ud, l_full), rel, axis=1), -1
+        )
+        flat_pts = jnp.take_along_axis(
+            pts.reshape(ud, l_full, 3), rel[..., None], axis=1
+        )
         pad = 0
     else:
         pts = bucket_pts[jnp.maximum(nrows, 0)]  # (UD, 27, cap, 3)
