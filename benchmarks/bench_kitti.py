@@ -4,8 +4,11 @@ Registers a 131k-point LiDAR-like scan pair (io/synthetic.kitti_like; the
 repo ships no datasets) at the KITTI operating point — radius 0.5 m on a
 ~150 m scene, k=20, fixed 10 outer iterations — and emits one JSON line
 with end-to-end seconds/pair. This is the sparse-grid regime (mean cell
-occupancy ~1): `auto` engine selection must pick the XLA grid engine with
-hierarchical selection, NOT the dense-scan fused engine.
+occupancy ~2.5, hot near-sensor cells): `auto` engine selection must pick
+the capacity-free pooled engine (ops/fused_pool.py) on TPU, NOT the
+dense-scan fused engine (whose single full-width prepack would be
+gigabytes here) nor the XLA grid engine (whose 27*capacity windows are
+~98% padding at this occupancy — measured 8.0 vs 2.5 s/pair).
 
 Usage: python benchmarks/bench_kitti.py [--points 131072] [--iters 10]
        [--backend cpu]
@@ -84,7 +87,8 @@ def main():
             "outer_iterations": args.iters,
             "capacity": reg._grid.capacity if reg._grid is not None else 0,
             "engine": "fused" if reg._prepack is not None
-            else ("grid" if reg._grid is not None else "brute"),
+            else ("pool" if reg._pool is not None
+                  else ("grid" if reg._grid is not None else "brute")),
             "mean_residual": float(reg.records[-1].final_cost)
             / max(reg.records[-1].num_correspondences, 1),
         }

@@ -53,9 +53,11 @@ class RegistrationParams:
     # Pad source/target point counts to multiples of this for static shapes.
     pad_multiple: int = 256
     # Neighbor-search engine: "auto" (fused grouped Pallas engine on dense
-    # TPU scans, hash grid when profitable, else brute force) | "brute"
-    # (always the streaming tiled engine) | "grid" | "fused" (force the
-    # grouped Pallas engine; interpret-mode off-TPU — tests only).
+    # TPU scans, width-class pooled engine on sparse ones, hash grid when
+    # profitable, else brute force) | "brute" (always the streaming tiled
+    # engine) | "grid" | "fused" (force the grouped Pallas engine) | "pool"
+    # (force the capacity-free pooled engine — the sparse/LiDAR path;
+    # forced engines run interpret-mode off-TPU — tests only).
     search_impl: str = "auto"
     # Outer iterations fused into one device program (lax.scan) when the grid
     # engine is active; the host syncs once per chunk. 1 disables fusion.

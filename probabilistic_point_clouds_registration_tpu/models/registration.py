@@ -49,7 +49,7 @@ from ..core.se3 import (
     quat_normalize,
     unit_quat_rotate,
 )
-from ..core.types import pad_cloud, valid_mask
+from ..core.types import pad_cloud, round_up, valid_mask
 from ..ops.neighbors import radius_search
 from ..ops.voxel import voxel_downsample
 from ..utils.eval import calculate_mse
@@ -423,6 +423,88 @@ def _registration_scan_fused(
     return outs
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "k", "radius", "lm_config", "class_widths", "class_ends",
+        "class_budgets", "budget_rows", "chunk", "interpret",
+    ),
+)
+def _registration_scan_pool(
+    filtered_source,
+    source_valid,
+    pool_xyz,
+    pool_idx,
+    width_lut,
+    lut_d,
+    origin_d,
+    dims_d,
+    q_cum,
+    t_cum,
+    q0,
+    t0,
+    *,
+    k: int,
+    radius: float,
+    lm_config: LMConfig,
+    class_widths: tuple,
+    class_ends: tuple,
+    class_budgets: tuple,
+    budget_rows: int,
+    chunk: int,
+    interpret: bool = False,
+):
+    """``chunk`` outer iterations with the capacity-free pooled engine
+    (ops/fused_pool.py) — the sparse/LiDAR-scale path. The select kernel
+    emits the chosen neighbors' coordinates directly from VMEM, so there is
+    no ``target[indices]`` gather (which costs ~12 B-granularity random HBM
+    traffic at 131k x 20 slots), and no hot-cell overflow merge (pool windows
+    carry every cell member). Emits a per-iteration overflow count; the host
+    falls back to the XLA grid engine for the pair when any is nonzero."""
+    from ..core.se3 import quat_rotate
+    from ..ops.fused_pool import fused_pool_search
+
+    def step(carry, _):
+        qc, tc = carry
+        moved = quat_rotate(qc, filtered_source) + tc
+        corr, overflow, gathered = fused_pool_search(
+            moved,
+            source_valid,
+            pool_xyz,
+            pool_idx,
+            width_lut,
+            lut_d,
+            origin_d,
+            dims_d,
+            k=k,
+            radius=radius,
+            class_widths=class_widths,
+            class_ends=class_ends,
+            class_budgets=class_budgets,
+            budget_rows=budget_rows,
+            interpret=interpret,
+            return_points=True,
+        )
+        res = em_lm_solve(moved, gathered, corr.mask, q0, t0, lm_config)
+        qn = quat_normalize(res.q)
+        q_new = quat_multiply(qn, qc)
+        t_new = unit_quat_rotate(qn, tc) + res.t
+        out = (
+            res.q,
+            res.t,
+            res.initial_cost,
+            res.final_cost,
+            res.num_iterations,
+            res.num_successful_steps,
+            jnp.sum(corr.mask),
+            overflow,
+        )
+        return (q_new, t_new), out
+
+    _, outs = jax.lax.scan(step, (q_cum, t_cum), None, length=chunk)
+    return outs
+
+
 @dataclass
 class IterationRecord:
     """One outer-iteration report row (the CSV columns at cc:44-46)."""
@@ -475,7 +557,7 @@ class ProbabilisticRegistration:
 
         tg, n_tgt = pad_cloud(target, params.pad_multiple, pad_value=0.0)
         grid = None
-        if params.search_impl in ("auto", "grid", "fused"):
+        if params.search_impl in ("auto", "grid", "fused", "pool"):
             grid = build_grid_host(
                 tg, params.radius, num_valid=n_tgt,
                 max_overflow=params.grid_max_overflow,
@@ -600,31 +682,46 @@ class ProbabilisticRegistration:
         # source distribution tracks the target's for overlapping scans); a
         # runtime overflow flag falls back to the XLA grid engine mid-pair.
         self._prepack = None
+        self._pool = None
         self._fused_interpret = False
-        if grid is not None and params.search_impl in ("auto", "fused"):
+        if grid is not None and params.search_impl in ("auto", "fused", "pool"):
             on_tpu = jax.default_backend() == "tpu"
-            want = params.search_impl == "fused" or (
-                params.search_impl == "auto" and on_tpu
-            )
-            if want:
-                from ..ops import fused_grid as _fg
+            from ..ops import fused_grid as _fg
 
-                counts = (grid["bucket_idx"] >= 0).sum(axis=1)
-                est_rows = int(np.ceil(counts / _fg.GROUP).sum()) * _fg.GROUP
-                # Explicit "fused" skips the fit estimate (the runtime
+            counts = (grid["bucket_idx"] >= 0).sum(axis=1)
+            est_rows = int(np.ceil(counts / _fg.GROUP).sum()) * _fg.GROUP
+            dense_fit = est_rows <= 1.7 * fs.shape[0]
+            if params.search_impl == "fused" or (
+                params.search_impl == "auto" and on_tpu and dense_fit
+            ):
+                # Dense scans: the grouped engine's single full-width prepack
+                # (explicit "fused" skips the fit estimate; the runtime
                 # overflow flag still protects correctness).
-                if (
-                    params.search_impl == "fused"
-                    or est_rows <= 1.7 * fs.shape[0]
-                ):
-                    pre = _fg.build_prepack(grid, self._grid)
-                    if pre is not None:
-                        self._prepack = pre
-                        self._fused_interpret = not on_tpu
-                        self.out << (
-                            f"Fused engine: {pre.n_dilated} dilated cells, "
-                            f"{pre.n_lanes} candidate lanes\n"
-                        )
+                pre = _fg.build_prepack(grid, self._grid)
+                if pre is not None:
+                    self._prepack = pre
+                    self._fused_interpret = not on_tpu
+                    self.out << (
+                        f"Fused engine: {pre.n_dilated} dilated cells, "
+                        f"{pre.n_lanes} candidate lanes\n"
+                    )
+            elif params.search_impl == "pool" or (
+                params.search_impl == "auto" and on_tpu and not dense_fit
+            ):
+                # Sparse scans (LiDAR): width-class pools sized to each
+                # window's real candidate union.
+                from ..ops import fused_pool as _fp
+
+                pool = _fp.build_pool_prepack(
+                    grid, prepared_target["tg"], dtype=np_dtype
+                )
+                if pool is not None:
+                    self._pool = pool
+                    self._fused_interpret = not on_tpu
+                    self.out << (
+                        f"Pooled engine: {pool.n_dilated} dilated cells, "
+                        f"classes {pool.class_widths} x {pool.class_ends}\n"
+                    )
 
         self._lm_config = LMConfig(
             dof=params.dof,
@@ -771,6 +868,7 @@ class ProbabilisticRegistration:
             # path (one solve per device call, trace buffer fetched each time).
             chunk = 1
             self._prepack = None
+            self._pool = None
             lm_config = lm_config._replace(trace=True)
 
         converged = False
@@ -815,6 +913,49 @@ class ProbabilisticRegistration:
                     self._prepack = None
                     self.out << (
                         "Fused-engine group overflow; falling back to the "
+                        "XLA grid engine for this pair\n"
+                    )
+                    continue
+                converged = self._consume_chunk(rows, fchunk, iter_start)
+                continue
+            if self._pool is not None:
+                pool = self._pool
+                fchunk = max(1, int(p.outer_chunk))
+                budget = round_up(
+                    max(pool.budget_rows, self._filtered_src_dev.shape[0] + 4096),
+                    2048,
+                )
+                outs = _registration_scan_pool(
+                    self._filtered_src_dev,
+                    self._src_valid,
+                    pool.pool_xyz,
+                    pool.pool_idx,
+                    pool.width_lut,
+                    pool.lut_d,
+                    pool.origin_d,
+                    pool.dims_d,
+                    q_cum,
+                    t_cum_dev,
+                    q0,
+                    t0,
+                    k=p.max_neighbours,
+                    radius=p.radius,
+                    lm_config=lm_config,
+                    class_widths=pool.class_widths,
+                    class_ends=pool.class_ends,
+                    class_budgets=pool.class_budgets,
+                    budget_rows=budget,
+                    chunk=fchunk,
+                    interpret=self._fused_interpret,
+                )
+                *rows, ovf = jax.device_get(outs)
+                if int(np.sum(ovf)) > 0:
+                    # A row or class-prefix budget overflowed: no results
+                    # were consumed — redo this chunk (and the rest of the
+                    # pair) on the XLA grid engine.
+                    self._pool = None
+                    self.out << (
+                        "Pooled-engine budget overflow; falling back to the "
                         "XLA grid engine for this pair\n"
                     )
                     continue

@@ -79,12 +79,27 @@ class PrepackedGrid(NamedTuple):
     cell_size: float
 
 
-def dilate_cells_host(grid_host: dict) -> dict | None:
+def dilate_cells_host(
+    grid_host: dict,
+    counts: np.ndarray | None = None,
+    dense_lut: bool = True,
+) -> dict | None:
     """Host-side dilation tables for :func:`build_prepack` (numpy only).
 
     Takes the dict from ops.grid.build_grid_host. Returns None when the
     extended LUT would be too large to materialize densely (sparse scans
     stay on the XLA engines).
+
+    ``counts`` overrides the per-cell candidate counts used for window
+    unions/widths: the dense engine packs from the capacity-CAPPED bucket
+    tensors (default: live bucket slots), while the capacity-free pool engine
+    (ops/fused_pool.py) passes the full ``cell_count`` so hot-cell points
+    stay inline in their windows instead of in a separate overflow set.
+
+    ``dense_lut=False`` skips materializing the dense (prod_d,) cell->window
+    LUT and returns the sparse pair ("d_cells", "lut_vals", "prod_d")
+    instead — at KITTI scale the dense LUT is >100 MB of host write + device
+    upload, vs a ~1 MB scatter the device does itself (fused_pool.py).
     """
     dims = grid_host["dims"].astype(np.int64)
     dims_d = dims + 2
@@ -102,56 +117,42 @@ def dilate_cells_host(grid_host: dict) -> dict | None:
     rest = cell_ids // dims[0]
     y = (rest % dims[1]).astype(np.int32)
     z = (rest // dims[1]).astype(np.int32)
-    d0, d1 = int(dims_d[0]), int(dims_d[1])
+    # All neighbor math runs in a DOUBLE-extended (+4) grid: occupied cells
+    # sit at coords+2, so dilated cells land in [1, dims+2] and every
+    # neighbor-of-a-dilated-cell in [0, dims+3] — always in bounds, which
+    # kills the per-axis bounds masks and clips (~12 extra 7M-element passes
+    # in the previous formulation; this host dilation is on the per-pair
+    # critical path at KITTI scale).
+    e0, e1 = int(dims[0] + 4), int(dims[1] + 4)
+    prod_e = e0 * e1 * int(dims[2] + 4)
     # Offset enumeration order (x slowest, z fastest) is the tie order shared
     # by every engine — keep it exactly.
     ox, oy, oz = np.meshgrid(*([np.arange(-1, 2, dtype=np.int32)] * 3), indexing="ij")
-    off_lin = (ox + d0 * (oy + d1 * oz)).reshape(27)
-    base = (x + 1) + d0 * ((y + 1) + np.int32(d1) * (z + 1))
-    dil_lin = (base[:, None] + off_lin[None, :]).reshape(-1)
-    # Dense-flag unique: O(prod_d + 27u) beats sorting 27u linear ids.
-    flags = np.zeros((prod_d,), dtype=bool)
-    flags[dil_lin] = True
-    d_cells = np.flatnonzero(flags).astype(np.int64)
-    ud = d_cells.shape[0]
+    off_e = (ox + e0 * (oy + e1 * oz)).reshape(27)
+    base_e = (x + 2) + np.int32(e0) * ((y + 2) + np.int32(e1) * (z + 2))
+    dil_e = (base_e[:, None] + off_e[None, :]).reshape(-1)
+    # Dense-flag unique: O(prod_e + 27u) beats sorting 27u linear ids.
+    flags = np.zeros((prod_e,), dtype=bool)
+    flags[dil_e] = True
+    d_cells_e = np.flatnonzero(flags).astype(np.int32)
+    ud = d_cells_e.shape[0]
 
-    lut_d = np.full((prod_d,), -1, dtype=np.int32)
-    lut_d[d_cells] = np.arange(ud, dtype=np.int32)
-
-    # Original-grid row of each of the 27 neighbors of each dilated cell.
-    dx = (d_cells % d0).astype(np.int32)
-    drest = d_cells // d0
-    dy = (drest % d1).astype(np.int32)
-    dz = (drest // d1).astype(np.int32)
-    # Per-axis bounds in ORIGINAL coords (dilated cells can sit on the border
-    # ring); linear neighbor ids via the original grid's strides.
-    nx = dx[:, None] + (ox.reshape(27)[None, :] - 1)
-    ny = dy[:, None] + (oy.reshape(27)[None, :] - 1)
-    nz = dz[:, None] + (oz.reshape(27)[None, :] - 1)
-    inb = (
-        (nx >= 0) & (nx < dims[0]) & (ny >= 0) & (ny < dims[1])
-        & (nz >= 0) & (nz < dims[2])
-    )
-    nb_lin = (
-        np.clip(nx, 0, dims[0] - 1)
-        + np.int64(dims[0])
-        * (np.clip(ny, 0, dims[1] - 1) + np.int64(dims[1]) * np.clip(nz, 0, dims[2] - 1))
-    )
-    if "lut" in grid_host:
-        nrows = np.where(inb, grid_host["lut"][nb_lin], -1).astype(np.int32)
-    else:
-        pos = np.searchsorted(cell_ids, nb_lin)
-        pos = np.minimum(pos, u - 1)
-        hit = inb & (cell_ids[pos] == nb_lin)
-        nrows = np.where(hit, pos, -1).astype(np.int32)
+    # Original-grid row of each of the 27 neighbors of each dilated cell:
+    # one gather through the extended occupied-cell LUT, no bounds math.
+    lut_e = np.full((prod_e,), -1, dtype=np.int32)
+    lut_e[base_e] = np.arange(u, dtype=np.int32)
+    nrows = lut_e[d_cells_e[:, None] + off_e[None, :]]
 
     # Largest real candidate-union over all windows: the packed lane width.
     # Typically ~5x smaller than 27*capacity (bunny 35k: 262 vs 1728) —
     # occupancy variance means most bucket slots are padding, and the select
     # kernel's extraction cost is proportional to lane width.
-    counts = (grid_host["bucket_idx"] >= 0).sum(axis=1)
-    counts_pad = np.concatenate([counts, [0]])
-    union = counts_pad[np.where(nrows >= 0, nrows, len(counts))].sum(axis=1)
+    if counts is None:
+        counts = (grid_host["bucket_idx"] >= 0).sum(axis=1)
+    counts_pad = np.concatenate([counts, [0]]).astype(np.int32)
+    union = counts_pad[np.where(nrows >= 0, nrows, u)].sum(
+        axis=1, dtype=np.int32
+    )
     max_union = int(union.max()) if union.size else 0
 
     # Renumber dilated rows by DESCENDING union width. Sources are grouped in
@@ -160,13 +161,16 @@ def dilate_cells_host(grid_host: dict) -> dict | None:
     # real width instead of the global maximum — the per-block width
     # predication in _select_kernel.
     perm = np.argsort(-union, kind="stable").astype(np.int32)
-    inv_perm = np.empty_like(perm)
-    inv_perm[perm] = np.arange(ud, dtype=np.int32)
     nrows = nrows[perm]
     union = union[perm]
-    lut_d = np.where(lut_d >= 0, inv_perm[np.maximum(lut_d, 0)], -1).astype(
-        np.int32
-    )
+    # Dilated cell ids in the (+2) extended search grid (row j of the
+    # width-sorted numbering lives at extended-linear d_cells[j]).
+    xe = d_cells_e[perm] % e0
+    re_ = d_cells_e[perm] // e0
+    ye = re_ % e1
+    ze = re_ // e1
+    d0, d1 = int(dims_d[0]), int(dims_d[1])
+    d_cells = (xe - 1) + np.int32(d0) * ((ye - 1) + np.int32(d1) * (ze - 1))
     # Per-row kernel width (lanes, multiple of 128); dead row (appended by
     # the prepack as row UD) gets width 0 so budget-padding blocks are free.
     width_lut = np.concatenate(
@@ -175,15 +179,23 @@ def dilate_cells_host(grid_host: dict) -> dict | None:
             np.zeros((1,), np.int32),
         ]
     )
-    return {
+    out = {
         "nrows": nrows,  # (UD, 27) int32
-        "lut_d": lut_d,
         "dims_d": dims_d.astype(np.int32),
         "origin_d": grid_host["origin"] - grid_host["cell_size"],
         "n_dilated": ud,
         "max_union": max_union,
+        "union": union,  # (UD,) descending real candidate counts
         "width_lut": width_lut,  # (UD+1,) int32
     }
+    if dense_lut:
+        lut_d = np.full((prod_d,), -1, dtype=np.int32)
+        lut_d[d_cells] = np.arange(ud, dtype=np.int32)
+        out["lut_d"] = lut_d
+    else:
+        out["d_cells"] = d_cells
+        out["prod_d"] = prod_d
+    return out
 
 
 @partial(jax.jit, static_argnames=("capacity", "n_lanes"))
@@ -308,7 +320,8 @@ def _width_limits(n_lanes: int, max_branches: int = 8) -> list[int]:
     return limits + [n_lanes]
 
 
-def _select_kernel(wb_ref, xyz_ref, idx_ref, src_ref, outd_ref, outi_ref, *, k, kp, r2, n_lanes):
+def _select_kernel(wb_ref, xyz_ref, idx_ref, src_ref, outd_ref, outi_ref,
+                   *outp_refs, k, kp, r2, n_lanes):
     """Distances + k-nearest extraction for BLOCK_GROUPS candidate windows.
 
     All arrays live in VMEM; the 20-round min-extraction that costs ~35 ms
@@ -326,19 +339,26 @@ def _select_kernel(wb_ref, xyz_ref, idx_ref, src_ref, outd_ref, outi_ref, *, k, 
     """
     bg = xyz_ref.shape[0]
     bs = bg * GROUP
+    # Optional third output: the selected neighbors' coordinates (BS, 3, kp).
+    # Emitting them here (they are already in VMEM) saves the caller a
+    # 12 B-granularity random gather of target[indices] afterwards.
+    outp_ref = outp_refs[0] if outp_refs else None
     # Finite sentinel (not inf: the `m < big` found-test must be able to
     # fail). Dead-slot coordinates are 1e30 so their d2 overflows to inf,
     # which the `live` mask then maps back onto this sentinel.
     big = jnp.float32(3e38)
-    # Whole-array SMEM ref (Mosaic's (8,128) block divisibility rule forbids
-    # a (1,1) block); index the current block's width by program id.
-    wb = wb_ref[pl.program_id(0), 0]
+    # Whole-array 1-D SMEM ref indexed by program id (2-D SMEM arrays get
+    # lane-padded to 128 — 2.8 MB > the 1 MB SMEM budget at KITTI-scale
+    # block counts; Mosaic's (8,128) rule also forbids a (1,1) block).
+    wb = wb_ref[pl.program_id(0)]
     col = lax.broadcasted_iota(jnp.int32, (bs, kp), 1)
 
     @pl.when(wb == 0)
     def _dead_block():
         outd_ref[:] = jnp.full((bs, kp), big, jnp.float32)
         outi_ref[:] = jnp.full((bs, kp), -1, jnp.int32)
+        if outp_ref is not None:
+            outp_ref[:] = jnp.zeros((bs, 3, kp), jnp.float32)
 
     def extract(lim: int):
         def rep(x):  # (BG, lim) -> (BS, lim): window row j serves rows 8j..8j+7
@@ -364,6 +384,10 @@ def _select_kernel(wb_ref, xyz_ref, idx_ref, src_ref, outd_ref, outi_ref, *, k, 
         lane = lax.broadcasted_iota(jnp.int32, (bs, lim), 1)
         outd = jnp.full((bs, kp), big, jnp.float32)
         outi = jnp.full((bs, kp), -1, jnp.int32)
+        if outp_ref is not None:
+            opx = jnp.zeros((bs, kp), jnp.float32)
+            opy = jnp.zeros((bs, kp), jnp.float32)
+            opz = jnp.zeros((bs, kp), jnp.float32)
         for r in range(k):
             m = jnp.min(d2, axis=1, keepdims=True)
             amin = jnp.min(jnp.where(d2 == m, lane, lim), axis=1, keepdims=True)
@@ -373,8 +397,14 @@ def _select_kernel(wb_ref, xyz_ref, idx_ref, src_ref, outd_ref, outi_ref, *, k, 
             hit = (col == r) & (m < big)
             outd = jnp.where(hit, m, outd)
             outi = jnp.where(hit, chosen, outi)
+            if outp_ref is not None:
+                opx = jnp.where(hit, jnp.sum(jnp.where(sel, cx, 0.0), axis=1, keepdims=True), opx)
+                opy = jnp.where(hit, jnp.sum(jnp.where(sel, cy, 0.0), axis=1, keepdims=True), opy)
+                opz = jnp.where(hit, jnp.sum(jnp.where(sel, cz, 0.0), axis=1, keepdims=True), opz)
         outd_ref[:] = outd
         outi_ref[:] = outi
+        if outp_ref is not None:
+            outp_ref[:] = jnp.stack([opx, opy, opz], axis=1)
 
     limits = _width_limits(n_lanes)
     lo = 0
@@ -384,42 +414,23 @@ def _select_kernel(wb_ref, xyz_ref, idx_ref, src_ref, outd_ref, outi_ref, *, k, 
         lo = lim
 
 
-@partial(
-    jax.jit,
-    static_argnames=("k", "radius", "n_lanes", "interpret"),
-)
-def fused_grid_search(
-    source,
-    source_valid,
-    cand_xyz,
-    cand_idx,
-    width_lut,
-    lut_d,
-    origin_d,
-    dims_d,
-    *,
-    k: int,
-    radius: float,
-    n_lanes: int,
-    interpret: bool = False,
-):
-    """Radius-capped KNN via cell-grouped windows + the Pallas select kernel.
+def _group_by_window(source, source_valid, lut_d, origin_d, dims_d, ud,
+                     radius, s_pad: int):
+    """Phases 1-2 of the fused engines: map each source to its window row and
+    sort same-window sources into cell-pure GROUP-row blocks.
 
-    Same contract as ops.grid.grid_radius_search. ``interpret=True`` runs the
-    kernel in the Pallas interpreter (CPU tests).
-
-    Returns (Correspondences, overflow) where overflow > 0 means the 2N-row
-    group padding overflowed (pathologically scattered sources) and the
-    caller must re-run the iteration with an XLA engine.
+    Returns (padded, step_rows, order, dst, overflow):
+      padded: (s_pad, 4) sorted sources + valid flag in lane 3.
+      step_rows: (s_pad // GROUP,) window row per group (ud = dead window).
+      order / dst: the sort permutation and each source's padded-row slot
+        (callers un-sort the kernel outputs with these).
+      overflow: count of sources past the ``s_pad`` row budget (caller must
+        redo the iteration with an XLA engine when nonzero).
     """
     n = source.shape[0]
     dtype = source.dtype
-    ud = cand_idx.shape[0] - 1  # last row is the dead window
-    s_pad = round_up(2 * n, BLOCK_GROUPS * GROUP)
     ng = s_pad // GROUP
-
     cell = jnp.asarray(radius, dtype)
-    r2 = jnp.asarray(radius, dtype) ** 2
 
     # 1. source cell -> dilated-window row (UD = dead window).
     ijk = jnp.floor((source - origin_d.astype(dtype)) / cell).astype(jnp.int32)
@@ -452,6 +463,120 @@ def fused_grid_search(
         mode="drop",
     )
     step_rows = jnp.full((ng,), ud, jnp.int32).at[gid].set(rs, mode="drop")
+    return padded, step_rows, order, dst, overflow
+
+
+def _run_select(padded, win_xyz, win_idx, w_blk, *, k, n_lanes, radius,
+                block_groups=BLOCK_GROUPS, interpret=False,
+                return_points=False):
+    """Invoke the Pallas select kernel over pre-gathered candidate windows."""
+    s_pad = padded.shape[0]
+    ng = s_pad // GROUP
+    kp = 32 if k <= 32 else round_up(k, 128)
+    kernel = partial(
+        _select_kernel, k=k, kp=kp, r2=np.float32(radius) ** 2, n_lanes=n_lanes
+    )
+    bs = block_groups * GROUP
+    out_specs = [
+        pl.BlockSpec((bs, kp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bs, kp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((s_pad, kp), jnp.float32),
+        jax.ShapeDtypeStruct((s_pad, kp), jnp.int32),
+    ]
+    if return_points:
+        out_specs.append(
+            pl.BlockSpec((bs, 3, kp), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        out_shape.append(jax.ShapeDtypeStruct((s_pad, 3, kp), jnp.float32))
+    outs = pl.pallas_call(
+        kernel,
+        grid=(ng // block_groups,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (block_groups, 3, n_lanes), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((block_groups, n_lanes), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bs, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(w_blk, win_xyz.astype(jnp.float32), win_idx, padded.astype(jnp.float32))
+    return outs if return_points else (outs[0], outs[1], None)
+
+
+def _unsort_results(outd, outi, outp, order, dst, *, k, n, dtype):
+    """Map kernel outputs (padded-row order) back to original source order."""
+    s_pad = outd.shape[0]
+    inv = jnp.full((n,), s_pad, jnp.int32).at[order].set(
+        jnp.where(dst < s_pad, dst, s_pad), mode="drop"
+    )
+    in_range = inv < s_pad
+    inv_safe = jnp.minimum(inv, s_pad - 1)
+    d_rows = outd[inv_safe][:, :k]
+    i_rows = outi[inv_safe][:, :k]
+    found = (i_rows >= 0) & in_range[:, None]
+    corr = Correspondences(
+        indices=jnp.where(found, i_rows, 0),
+        sq_dists=jnp.where(found, d_rows.astype(dtype), 0.0),
+        mask=found,
+    )
+    if outp is None:
+        return corr, None
+    p_rows = jnp.transpose(outp[inv_safe][:, :, :k], (0, 2, 1))  # (n, k, 3)
+    pts = jnp.where(found[..., None], p_rows.astype(dtype), 0.0)
+    return corr, pts
+
+
+@partial(
+    jax.jit,
+    static_argnames=("k", "radius", "n_lanes", "interpret", "budget_rows",
+                     "return_points"),
+)
+def fused_grid_search(
+    source,
+    source_valid,
+    cand_xyz,
+    cand_idx,
+    width_lut,
+    lut_d,
+    origin_d,
+    dims_d,
+    *,
+    k: int,
+    radius: float,
+    n_lanes: int,
+    interpret: bool = False,
+    budget_rows: int | None = None,
+    return_points: bool = False,
+):
+    """Radius-capped KNN via cell-grouped windows + the Pallas select kernel.
+
+    Same contract as ops.grid.grid_radius_search. ``interpret=True`` runs the
+    kernel in the Pallas interpreter (CPU tests).
+
+    Returns (Correspondences, overflow[, points]) where overflow > 0 means
+    the group-row budget (``budget_rows``, default 2N) overflowed
+    (pathologically scattered sources) and the caller must re-run the
+    iteration with an XLA engine. ``return_points=True`` appends the selected
+    neighbors' coordinates (N, k, 3) — emitted by the kernel from VMEM, which
+    replaces the caller's 12 B-granularity ``target[indices]`` gather.
+    """
+    n = source.shape[0]
+    dtype = source.dtype
+    ud = cand_idx.shape[0] - 1  # last row is the dead window
+    s_pad = round_up(budget_rows or 2 * n, BLOCK_GROUPS * GROUP)
+    ng = s_pad // GROUP
+
+    padded, step_rows, order, dst, overflow = _group_by_window(
+        source, source_valid, lut_d, origin_d, dims_d, ud, radius, s_pad
+    )
 
     # 3. one window gather per group (contiguous multi-KB rows).
     win_xyz = cand_xyz[step_rows]  # (NG, 3, L)
@@ -461,54 +586,16 @@ def fused_grid_search(
     w_blk = jnp.max(
         width_lut[step_rows].reshape(ng // BLOCK_GROUPS, BLOCK_GROUPS),
         axis=1,
-        keepdims=True,
     )
 
-    kp = 32 if k <= 32 else round_up(k, 128)
-    kernel = partial(
-        _select_kernel, k=k, kp=kp, r2=np.float32(radius) ** 2, n_lanes=n_lanes
+    outd, outi, outp = _run_select(
+        padded, win_xyz, win_idx, w_blk, k=k, n_lanes=n_lanes, radius=radius,
+        interpret=interpret, return_points=return_points,
     )
-    bs = BLOCK_GROUPS * GROUP
-    outd, outi = pl.pallas_call(
-        kernel,
-        grid=(ng // BLOCK_GROUPS,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(
-                (BLOCK_GROUPS, 3, n_lanes), lambda i: (i, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec((BLOCK_GROUPS, n_lanes), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bs, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((bs, kp), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bs, kp), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((s_pad, kp), jnp.float32),
-            jax.ShapeDtypeStruct((s_pad, kp), jnp.int32),
-        ],
-        interpret=interpret,
-    )(w_blk, win_xyz.astype(jnp.float32), win_idx, padded.astype(jnp.float32))
 
-    # 4. back to original source order. Overflowed sources (dst >= s_pad,
-    # dropped by the scatters above) keep the s_pad sentinel and yield empty
-    # rows here; `overflow` tells the caller to redo the iteration elsewhere.
-    inv = jnp.full((n,), s_pad, jnp.int32).at[order].set(
-        jnp.where(dst < s_pad, dst, s_pad), mode="drop"
+    corr, pts = _unsort_results(
+        outd, outi, outp, order, dst, k=k, n=n, dtype=dtype
     )
-    in_range = inv < s_pad
-    inv_safe = jnp.minimum(inv, s_pad - 1)
-    d_rows = outd[inv_safe][:, :k]
-    i_rows = outi[inv_safe][:, :k]
-    found = (i_rows >= 0) & in_range[:, None]
-    return (
-        Correspondences(
-            indices=jnp.where(found, i_rows, 0),
-            sq_dists=jnp.where(found, d_rows.astype(dtype), 0.0),
-            mask=found,
-        ),
-        overflow,
-    )
+    if return_points:
+        return corr, overflow, pts
+    return corr, overflow

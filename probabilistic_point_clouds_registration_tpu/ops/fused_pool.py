@@ -1,0 +1,453 @@
+"""Capacity-free pooled fused search: the sparse-scan (LiDAR) engine.
+
+The dense fused engine (ops/fused_grid.py) prepacks every dilated cell's
+27-cell candidate window as one row of a SINGLE (UD, 3, L) tensor, where L is
+the global maximum window width. That design collapses on sparse outdoor
+scans (KITTI: 131k points, mean cell occupancy ~2.5, but near-sensor cells
+with 100+ returns):
+
+  * the global max union is ~10x the p99 union, so a dense prepack would be
+    gigabytes of padding (259k dilated cells x 1152 lanes at 131k points),
+  * the XLA grid engine it falls back to pays 27*capacity-wide windows that
+    are ~98% padding at occupancy 2.5, plus a per-iteration streaming brute
+    pass over the hot-cell overflow set — measured ~480 ms/iteration of the
+    ~570 ms/iteration KITTI pair step (docs/PERF.md).
+
+This engine keeps the grouped-window + Pallas-select structure but stores
+windows in a few WIDTH-CLASS pools sized to each window's real candidate
+union (reference search semantics: src/prob_point_cloud_registration.cc:72-81):
+
+  1. windows are already sorted by DESCENDING real union width (the dense
+     engine's width-predication order), so width classes are contiguous row
+     ranges: class 0 = the widest handful, the last class = the ~99% of
+     windows whose whole 27-cell union fits 128 lanes;
+  2. each class c gets its own (n_c + 1, 3, W_c) pool, packed on device from
+     contiguous [start, start+count) ranges of the CELL-SORTED target — no
+     bucket capacity, so hot-cell points stay inline and the per-iteration
+     overflow merge disappears (exact by construction);
+  3. per iteration, sources group into cell-pure 8-row blocks exactly as in
+     the dense engine; pass c runs the width-predicated select kernel over
+     the first B_c groups only. Groups are sorted by window row == descending
+     width, so every class-c group provably lives in that prefix; a static
+     per-class budget with a runtime coverage flag replaces dynamic shapes.
+
+Neighbor SETS are identical to the XLA engines'; ties at the k-th slot may
+resolve differently from the grid+overflow-merge path only within an exact
+distance tie class (same caveat as ops/neighbors.py:16).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..core.types import Correspondences, round_up
+from .fused_grid import (
+    BLOCK_GROUPS,
+    GROUP,
+    _BIG,
+    _group_by_window,
+    _run_select,
+    _unsort_results,
+    dilate_cells_host,
+)
+
+# Widest pool class allowed: bounds the select kernel's VMEM block at
+# BLOCK_GROUPS x 4 x MAX_CLASS_LANES x 4 B (= 4.2 MB at 4096) and the
+# per-pass gather width. A window wider than this (a >4096-point candidate
+# union inside one 3x3x3 neighborhood) means the scan is locally dense enough
+# that the XLA grid engine's whole-bucket windows are the better fit.
+MAX_CLASS_LANES = 4096
+# Total pool budget: sparse scans keep pools small (real unions, not
+# capacity padding); beyond this the prepack declines and the caller stays
+# on the XLA engines.
+MAX_POOL_BYTES = 2 << 30
+
+
+class PoolPrepack(NamedTuple):
+    """Per-pair pooled fused-search state (device arrays unless noted).
+
+    Attributes:
+      pool_xyz / pool_idx: per width class c, (n_c + 1, 3, W_c) candidate
+        coordinates and (n_c + 1, W_c) original target indices (-1 = empty);
+        row n_c is the dead window.
+      class_widths: static per-class lane widths, descending.
+      class_ends: static exclusive end row id of each class in the global
+        width-sorted window numbering (class c = rows [ends[c-1], ends[c])).
+      class_budgets: static per-class GROUP budgets (groups [0, B_c) are
+        covered by pass c; the last class always covers every group).
+      width_lut: (UD + 1,) per-window kernel width (lanes; dead row = 0).
+      lut_d / origin_d / dims_d: extended-grid cell -> window row mapping
+        (same contract as the dense engine's PrepackedGrid).
+      budget_rows: static padded source-row budget for _group_by_window.
+      n_dilated: static UD.
+      cell_size: static float.
+    """
+
+    pool_xyz: tuple
+    pool_idx: tuple
+    class_widths: tuple
+    class_ends: tuple
+    class_budgets: tuple
+    width_lut: jnp.ndarray
+    lut_d: jnp.ndarray
+    origin_d: jnp.ndarray
+    dims_d: jnp.ndarray
+    budget_rows: int
+    n_dilated: int
+    cell_size: float
+
+
+def _plan_classes(union: np.ndarray) -> tuple[list[int], list[int]]:
+    """Split width-sorted windows into <=3 width classes.
+
+    ``union`` is the per-window real candidate count, DESCENDING. Returns
+    (widths, ends): per-class lane widths and exclusive end rows. Class
+    boundaries are chosen so the dominant narrow class stays at 128 lanes
+    and the wide tail pays its own width instead of inflating everyone's.
+    """
+    ud = union.shape[0]
+    w = (np.ceil(np.maximum(union, 1) / 128.0) * 128).astype(np.int64)
+    l_max = int(w[0]) if ud else 128
+    widths = [l_max]
+    if l_max > 512:
+        widths.append(512)
+    if l_max > 128:
+        widths.append(128)
+    ends = []
+    for c, wc in enumerate(widths):
+        nxt = widths[c + 1] if c + 1 < len(widths) else 0
+        # Last window whose width exceeds the NEXT class's capacity belongs
+        # to this class; w is non-increasing so searchsorted on the reversed
+        # view gives the boundary.
+        ends.append(ud - int(np.searchsorted(w[::-1], nxt + 1, side="left")))
+    ends[-1] = ud
+    # Drop empty classes (e.g. nothing wider than 512).
+    widths_out, ends_out, prev = [], [], 0
+    for wc, e in zip(widths, ends):
+        if e > prev:
+            widths_out.append(int(wc))
+            ends_out.append(int(e))
+            prev = e
+    return widths_out, ends_out
+
+
+@partial(jax.jit, static_argnames=("prod_d",))
+def _scatter_lut(d_cells, *, prod_d: int):
+    ud = d_cells.shape[0]
+    return (
+        jnp.full((prod_d,), -1, jnp.int32)
+        .at[d_cells]
+        .set(jnp.arange(ud, dtype=jnp.int32))
+    )
+
+
+def _pool_block(n_rows: int, w_c: int) -> int:
+    """Rows per lax.map chunk in pool assembly (bounds the (B, W, 27) owner
+    transient to ~0.5 GB of int32)."""
+    return max(1, min(n_rows, (1 << 22) // max(w_c, 1)))
+
+
+@partial(jax.jit, static_argnames=("w_c", "n_rows"))
+def _assemble_pool_class(packed_sorted, cell_start, cell_count, nrows_c,
+                         *, w_c: int, n_rows: int):
+    """Pack one width class's candidate windows from the cell-sorted target.
+
+    ``packed_sorted`` is (Np + 1, 4) f32: cell-sorted target xyz with the
+    original index BITCAST into lane 3 (one 16 B-aligned gather builds both
+    coordinate and index pools), row Np = dead sentinel. Window slots follow
+    (neighbor-offset, within-cell) order — the same tie order as every other
+    engine, because within-cell order in the sort equals bucket slot order.
+
+    Returns exactly ``nrows_c.shape[0]`` window rows at lane width ``w_c``;
+    the caller pads lanes up to the class width and appends the dead row.
+    The element gather dominates (measured ~30 ns/row on a v5e), so callers
+    should invoke this at the windows' real pow2-padded width — the
+    sub-width splitting in build_pool_prepack — rather than one class-wide
+    width (33M mostly-dead gathered rows -> ~4M live ones at KITTI scale).
+    """
+    npts = packed_sorted.shape[0] - 1
+    n_c = nrows_c.shape[0]
+    block = _pool_block(n_rows, w_c)
+    p = jnp.arange(w_c, dtype=jnp.int32)[None, :]
+
+    def block_fn(nrows_blk):
+        b = nrows_blk.shape[0]
+        cnt = jnp.where(
+            nrows_blk >= 0, cell_count[jnp.maximum(nrows_blk, 0)], 0
+        )  # (B, 27)
+        starts = jnp.cumsum(cnt, axis=1) - cnt
+        total = jnp.sum(cnt, axis=1)
+        base = cell_start[jnp.maximum(nrows_blk, 0)]  # (B, 27)
+        # Packed slot p belongs to the LAST neighbor j with start_j <= p
+        # (starts are nondecreasing; empty cells never own a slot because
+        # the next nonempty neighbor shares their start). An unrolled
+        # 27-step select over (B, W) lane-major arrays replaces the naive
+        # (B, W, 27) reduction, whose 27-lane minor dimension wastes ~4/5
+        # of the VPU (measured 1.04 s -> the loop form is bandwidth-bound).
+        ssel = jnp.zeros((b, w_c), jnp.int32)
+        bsel = jnp.zeros((b, w_c), jnp.int32)
+        for j in range(27):
+            upd = starts[:, j : j + 1] <= p
+            ssel = jnp.where(upd, starts[:, j : j + 1], ssel)
+            bsel = jnp.where(upd, base[:, j : j + 1], bsel)
+        srcpos = bsel + (p - ssel)
+        live = p < total[:, None]
+        pos = jnp.where(live, srcpos, npts)
+        raw = packed_sorted[pos]  # (B, W, 4)
+        xyz = jnp.transpose(raw[..., :3], (0, 2, 1))  # (B, 3, W)
+        idx = lax.bitcast_convert_type(raw[..., 3], jnp.int32)
+        return xyz, idx
+
+    # Chunk the work; n_rows is the static padded row count (a multiple of
+    # the block by construction in the caller).
+    pad = n_rows - n_c
+    nrows_pad = jnp.concatenate(
+        [nrows_c, jnp.full((pad, 27), -1, jnp.int32)], axis=0
+    )
+    xyz, idx = lax.map(
+        block_fn, nrows_pad.reshape(n_rows // block, block, 27)
+    )
+    xyz = xyz.reshape(n_rows, 3, w_c)[:n_c]
+    idx = idx.reshape(n_rows, w_c)[:n_c]
+    return xyz, idx
+
+
+def build_pool_prepack(
+    grid_host: dict, target: np.ndarray, dtype=np.float32
+) -> PoolPrepack | None:
+    """Build the pooled fused-search state (host planning + device packing).
+
+    ``target`` is the (padded) target cloud the grid was built over (only its
+    first ``num_valid`` rows are read). Returns None when the scan doesn't
+    fit the engine: extended LUT too large (dilate_cells_host), a window
+    union beyond MAX_CLASS_LANES, or pools past MAX_POOL_BYTES — callers
+    then stay on the XLA grid engine.
+    """
+    counts_full = grid_host["cell_count"].astype(np.int64)
+    dil = dilate_cells_host(grid_host, counts=counts_full, dense_lut=False)
+    if dil is None:
+        return None
+    ud = dil["n_dilated"]
+    nrows = dil["nrows"]  # (UD, 27), width-sorted
+    union = dil["union"]
+    widths, ends = _plan_classes(union)
+    if widths and widths[0] > MAX_CLASS_LANES:
+        return None
+    pool_bytes = sum(
+        (e - (ends[c - 1] if c else 0) + 1) * w * 16
+        for c, (w, e) in enumerate(zip(widths, ends))
+    )
+    if pool_bytes > MAX_POOL_BYTES:
+        return None
+
+    n = grid_host["num_valid"]
+    order = grid_host["sort_order"]
+    packed = np.empty((n + 1, 4), np.float32)
+    packed[:n, :3] = np.asarray(target[:n])[order].astype(np.float32)
+    packed[:n, 3] = order.astype(np.int32).view(np.float32)
+    packed[n, :3] = _BIG
+    packed[n, 3] = np.int32(-1).view(np.float32)
+
+    dev = jax.device_put(
+        {
+            "packed": packed,
+            "cell_start": grid_host["cell_start"],
+            "cell_count": grid_host["cell_count"],
+            "nrows": nrows,
+            "d_cells": dil["d_cells"],
+            "dims_d": dil["dims_d"],
+            "origin_d": dil["origin_d"].astype(dtype),
+            "width_lut": dil["width_lut"],
+        }
+    )
+    # Dense extended-grid LUT built by a device scatter: >100 MB of host
+    # write + tunnel upload at KITTI scale if materialized host-side.
+    lut_d = _scatter_lut(dev["d_cells"], prod_d=dil["prod_d"])
+
+    # Pow2-padded real widths (min 8): the per-element pool gather is the
+    # prepack's dominant cost, so each class is assembled in sub-width
+    # chunks (windows are width-sorted globally, so sub-chunks are contiguous
+    # row ranges) and lane-padded up to the class width afterwards — the pad
+    # is a sequential write at HBM bandwidth, the gather only touches
+    # ~real-union lanes.
+    w_pow2 = np.maximum(
+        8, 1 << np.ceil(np.log2(np.maximum(union, 1))).astype(np.int64)
+    )
+    pool_xyz, pool_idx = [], []
+    prev = 0
+    for w_c, e_c in zip(widths, ends):
+        cls_w = np.minimum(w_pow2[prev:e_c], w_c)
+        parts_xyz, parts_idx = [], []
+        s0 = 0
+        while s0 < e_c - prev:
+            sw = int(cls_w[s0])
+            s1 = int(np.searchsorted(-cls_w, -sw, side="right"))
+            block = _pool_block(s1 - s0, sw)
+            xyz, idx = _assemble_pool_class(
+                dev["packed"],
+                dev["cell_start"],
+                dev["cell_count"],
+                dev["nrows"][prev + s0 : prev + s1],
+                w_c=sw,
+                n_rows=round_up(s1 - s0, block),
+            )
+            if sw < w_c:
+                xyz = jnp.pad(
+                    xyz, ((0, 0), (0, 0), (0, w_c - sw)),
+                    constant_values=np.asarray(_BIG, xyz.dtype),
+                )
+                idx = jnp.pad(
+                    idx, ((0, 0), (0, w_c - sw)), constant_values=-1
+                )
+            parts_xyz.append(xyz.astype(dtype))
+            parts_idx.append(idx)
+            s0 = s1
+        # Dead window (row n_c): constructed directly, nothing to gather.
+        parts_xyz.append(jnp.full((1, 3, w_c), _BIG, dtype))
+        parts_idx.append(jnp.full((1, w_c), -1, jnp.int32))
+        pool_xyz.append(jnp.concatenate(parts_xyz, axis=0))
+        pool_idx.append(jnp.concatenate(parts_idx, axis=0))
+        prev = e_c
+
+    # Row budget: target occupancy predicts source grouping for overlapping
+    # scans; 1.6x margin + the runtime overflow flag covers drift.
+    est_rows = int((np.ceil(counts_full / GROUP) * GROUP).sum())
+    budget_rows = round_up(
+        max(int(1.6 * est_rows), n), BLOCK_GROUPS * GROUP
+    )
+    ng = budget_rows // GROUP
+
+    # Per-class group budgets: expected groups in classes <= c from the
+    # target count of each window's CENTER cell (offset 13 of the (x slowest,
+    # z fastest) 27-enumeration is (0,0,0); sources land like targets),
+    # 2x margin + floor; the last class always spans every group.
+    counts_pad = np.concatenate([counts_full, [0]])
+    center = np.where(nrows[:, 13] >= 0, counts_pad[np.maximum(nrows[:, 13], 0)], 0)
+    budgets = []
+    prev = 0
+    cum_groups = 0
+    for c, e_c in enumerate(ends):
+        cum_groups += int(
+            np.ceil(np.maximum(center[prev:e_c], 1) / GROUP).sum()
+        )
+        prev = e_c
+        if c == len(ends) - 1:
+            budgets.append(ng)
+        else:
+            b = round_up(2 * cum_groups + 4 * BLOCK_GROUPS, BLOCK_GROUPS)
+            budgets.append(min(ng, b))
+
+    return PoolPrepack(
+        pool_xyz=tuple(pool_xyz),
+        pool_idx=tuple(pool_idx),
+        class_widths=tuple(widths),
+        class_ends=tuple(ends),
+        class_budgets=tuple(budgets),
+        width_lut=dev["width_lut"],
+        lut_d=lut_d,
+        origin_d=dev["origin_d"],
+        dims_d=dev["dims_d"],
+        budget_rows=budget_rows,
+        n_dilated=ud,
+        cell_size=grid_host["cell_size"],
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "k", "radius", "class_widths", "class_ends", "class_budgets",
+        "budget_rows", "interpret", "return_points",
+    ),
+)
+def fused_pool_search(
+    source,
+    source_valid,
+    pool_xyz,
+    pool_idx,
+    width_lut,
+    lut_d,
+    origin_d,
+    dims_d,
+    *,
+    k: int,
+    radius: float,
+    class_widths: tuple,
+    class_ends: tuple,
+    class_budgets: tuple,
+    budget_rows: int,
+    interpret: bool = False,
+    return_points: bool = False,
+):
+    """Radius-capped KNN via width-class pools + the Pallas select kernel.
+
+    Same contract as fused_grid_search: returns (Correspondences, overflow
+    [, points]); overflow > 0 when either the row budget or a class-prefix
+    budget was exceeded — the caller redoes the iteration on an XLA engine.
+    """
+    n = source.shape[0]
+    dtype = source.dtype
+    ud = width_lut.shape[0] - 1
+    s_pad = round_up(budget_rows, BLOCK_GROUPS * GROUP)
+    ng = s_pad // GROUP
+
+    padded, step_rows, order, dst, overflow = _group_by_window(
+        source, source_valid, lut_d, origin_d, dims_d, ud, radius, s_pad
+    )
+
+    # Per-group class id: number of class ends <= row (dead rows -> C).
+    ends_arr = jnp.asarray(class_ends, jnp.int32)
+    gcls = jnp.sum(step_rows[:, None] >= ends_arr[None, :], axis=1)
+
+    kp = 32 if k <= 32 else round_up(k, 128)
+    big = jnp.float32(3e38)
+    outd = jnp.full((s_pad, kp), big, jnp.float32)
+    outi = jnp.full((s_pad, kp), -1, jnp.int32)
+    outp = jnp.zeros((s_pad, 3, kp), jnp.float32) if return_points else None
+
+    prev_end = 0
+    for c, (w_c, e_c, b_c) in enumerate(
+        zip(class_widths, class_ends, class_budgets)
+    ):
+        b_c = min(round_up(b_c, BLOCK_GROUPS), ng)
+        n_c = e_c - prev_end
+        rows_c = step_rows[:b_c]
+        in_class = (rows_c >= prev_end) & (rows_c < e_c)
+        local = jnp.where(in_class, rows_c - prev_end, n_c)
+        win_xyz = pool_xyz[c][local]
+        win_idx = pool_idx[c][local]
+        w_blk = jnp.max(
+            jnp.where(in_class, width_lut[rows_c], 0).reshape(
+                b_c // BLOCK_GROUPS, BLOCK_GROUPS
+            ),
+            axis=1,
+        )
+        res = _run_select(
+            padded[: b_c * GROUP], win_xyz, win_idx, w_blk,
+            k=k, n_lanes=w_c, radius=radius, interpret=interpret,
+            return_points=return_points,
+        )
+        sel = jnp.repeat(in_class[:, None], GROUP, axis=1).reshape(b_c * GROUP)[:, None]
+        outd = outd.at[: b_c * GROUP].set(jnp.where(sel, res[0], outd[: b_c * GROUP]))
+        outi = outi.at[: b_c * GROUP].set(jnp.where(sel, res[1], outi[: b_c * GROUP]))
+        if return_points:
+            outp = outp.at[: b_c * GROUP].set(
+                jnp.where(sel[..., None], res[2], outp[: b_c * GROUP])
+            )
+        # Coverage: groups are sorted by row (descending width), so any
+        # class-<=c window past this class's budget means a missed group.
+        if b_c < ng:
+            overflow += jnp.where(step_rows[b_c] < e_c, 1, 0)
+        prev_end = e_c
+
+    corr, pts = _unsort_results(
+        outd, outi, outp, order, dst, k=k, n=n, dtype=dtype
+    )
+    if return_points:
+        return corr, overflow, pts
+    return corr, overflow

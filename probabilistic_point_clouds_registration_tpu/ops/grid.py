@@ -172,6 +172,13 @@ def build_grid_host(
         "dims": dims.astype(np.int32),
         "cell_size": float(cell_size),
         "num_valid": n,
+        # Cell-sorted view of the target (order = stable sort by linear cell
+        # id, so within-cell order == bucket slot order): the capacity-free
+        # pool engine (ops/fused_pool.py) packs per-window candidate lists
+        # straight out of contiguous [start, start+count) ranges of it.
+        "sort_order": order.astype(np.int32),
+        "cell_start": start.astype(np.int32),
+        "cell_count": counts.astype(np.int32),
     }
     n_over = int((~in_cap).sum())
     if n_over:
@@ -243,6 +250,11 @@ def merge_overflow(
 
     op = overflow_pts.shape[0]
     ko = min(k, op)
+    # exact=True: direct-difference distances. The matmul expansion's f32
+    # cancellation error (~eps * coordinate^2) mis-SELECTS candidates at
+    # LiDAR coordinate scales — every other candidate source in this merge
+    # (grid buckets) is computed from exact differences, so the overflow
+    # side must be too or the merge silently drops true neighbors.
     ov_idx_local, ov_d2, ov_found = topk_neighbors(
         source,
         overflow_pts,
@@ -251,6 +263,7 @@ def merge_overflow(
         target_valid=overflow_idx >= 0,
         source_tile=4096,
         target_tile=min(2048, op),
+        exact=True,
     )
     r2 = jnp.asarray(radius, ov_d2.dtype) ** 2
     ov_found &= ov_d2 <= r2

@@ -67,7 +67,7 @@ def _pairwise_sq_dists(src: jnp.ndarray, tgt: jnp.ndarray) -> jnp.ndarray:
     return jnp.maximum(s2 + t2 - 2.0 * cross, 0.0)
 
 
-@partial(jax.jit, static_argnames=("k", "source_tile", "target_tile"))
+@partial(jax.jit, static_argnames=("k", "source_tile", "target_tile", "exact"))
 def topk_neighbors(
     source: jnp.ndarray,
     target: jnp.ndarray,
@@ -77,6 +77,7 @@ def topk_neighbors(
     target_valid: jnp.ndarray,
     source_tile: int = 4096,
     target_tile: int = 2048,
+    exact: bool = False,
 ):
     """K nearest target points per source point (unbounded radius).
 
@@ -86,11 +87,26 @@ def topk_neighbors(
       k: neighbors per source point (static).
       source_valid / target_valid: bool validity masks for padded rows.
       source_tile / target_tile: static tile sizes for the streaming sweep.
+      exact: compute tile distances with the direct (s - t)^2 form (VPU)
+        instead of the matmul expansion (MXU). The expansion's f32 error is
+        ~eps * max coordinate magnitude squared, which at LiDAR scales
+        (+-75 m -> ~1e-3 m^2) swamps millimeter-scale distance gaps and
+        corrupts SELECTION, not just the reported values. Use for small
+        target sets (e.g. the hot-cell overflow merge) where MXU throughput
+        doesn't matter.
 
     Returns:
       (indices (N, k) int32, sq_dists (N, k), found (N, k) bool), sorted
       ascending by squared distance; ``found`` is False for slots beyond the
       number of valid targets and for invalid source rows.
+
+    Numerical note: in the default (matmul-expansion) mode, both clouds are
+    centered on the valid targets' bbox midpoint before the expansion, which
+    shrinks the cancellation error from eps*|coords|^2 to eps*extent^2/4, and
+    the final k results are re-sorted by exactly-recomputed distances. The
+    selection itself remains approximate at the k-th boundary within that
+    error band (the grid/fused engines compute exact gathered differences
+    and have no such band).
     """
     n, _ = source.shape
     m, _ = target.shape
@@ -101,6 +117,13 @@ def topk_neighbors(
     src = jnp.pad(source, ((0, n_pad - n), (0, 0)))
     tgt = jnp.pad(target, ((0, m_pad - m), (0, 0)))
     tgt_valid = jnp.pad(target_valid.astype(bool), (0, m_pad - m))
+    if not exact:
+        tv3 = tgt_valid[:, None]
+        lo = jnp.min(jnp.where(tv3, tgt, jnp.inf), axis=0)
+        hi = jnp.max(jnp.where(tv3, tgt, -jnp.inf), axis=0)
+        center = jnp.where(jnp.isfinite(lo) & jnp.isfinite(hi), (lo + hi) * 0.5, 0.0)
+        src = src - center.astype(dtype)
+        tgt = tgt - center.astype(dtype)
 
     num_t_tiles = m_pad // target_tile
 
@@ -116,7 +139,11 @@ def topk_neighbors(
             start = t_idx * target_tile
             tile = lax.dynamic_slice(tgt, (start, jnp.int32(0)), (target_tile, 3))
             tile_valid = lax.dynamic_slice(tgt_valid, (start,), (target_tile,))
-            d2 = _pairwise_sq_dists(src_blk, tile)
+            if exact:
+                diff = src_blk[:, None, :] - tile[None, :, :]
+                d2 = jnp.sum(diff * diff, axis=-1).astype(dtype)
+            else:
+                d2 = _pairwise_sq_dists(src_blk, tile)
             d2 = jnp.where(tile_valid[None, :], d2, _BIG)
             tile_ids = (start + jax.lax.broadcasted_iota(jnp.int32, (s, target_tile), 1)).astype(
                 jnp.int32
@@ -137,10 +164,16 @@ def topk_neighbors(
     found = (best_i < m) & jnp.isfinite(best_d) & source_valid.astype(bool)[:, None]
     safe_i = jnp.where(found, best_i, 0)
     # Recompute selected distances exactly (the matmul expansion loses a few
-    # ulps; the gather-based form is what FLANN reports).
+    # ulps; the gather-based form is what FLANN reports) and re-sort by them:
+    # within the expansion's error band, selection order can invert.
     diff = source[:, None, :] - target[safe_i]
     exact_d = jnp.sum(diff * diff, axis=-1)
     sq_dists = jnp.where(found, exact_d, _BIG)
+    if not exact:
+        order = jnp.argsort(sq_dists, axis=1, stable=True)
+        safe_i = jnp.take_along_axis(safe_i, order, axis=1)
+        sq_dists = jnp.take_along_axis(sq_dists, order, axis=1)
+        found = jnp.take_along_axis(found, order, axis=1)
     return safe_i, sq_dists, found
 
 

@@ -132,10 +132,23 @@ def pallas_radius_search(
 
     n_pad = round_up(n, source_tile)
     m_pad = round_up(m, target_tile)
-    src = jnp.pad(source.astype(jnp.float32), ((0, n_pad - n), (0, 125)))
+    # Center on the valid targets' bbox midpoint before the matmul-expansion
+    # selection: its f32 cancellation error is ~eps * |coords|^2, which at
+    # LiDAR coordinate scales otherwise swamps mm-scale distance gaps (same
+    # conditioning fix as ops.neighbors.topk_neighbors; the exact recompute
+    # below uses the ORIGINAL coordinates).
+    tvb = target_valid.astype(bool)[:, None]
+    lo = jnp.min(jnp.where(tvb, target, jnp.inf), axis=0)
+    hi = jnp.max(jnp.where(tvb, target, -jnp.inf), axis=0)
+    center = jnp.where(
+        jnp.isfinite(lo) & jnp.isfinite(hi), (lo + hi) * 0.5, 0.0
+    ).astype(source.dtype)
+    src = jnp.pad(
+        (source - center).astype(jnp.float32), ((0, n_pad - n), (0, 125))
+    )
     # Transposed target with sublane padding: rows 0..2 = x,y,z.
     tgt_t = jnp.pad(
-        target.astype(jnp.float32).T, ((0, 5), (0, m_pad - m))
+        (target - center).astype(jnp.float32).T, ((0, 5), (0, m_pad - m))
     )  # (8, m_pad)
     tval = jnp.pad(target_valid.astype(jnp.float32), (0, m_pad - m))
     tval = jnp.broadcast_to(tval[None, :], (8, m_pad))
