@@ -383,7 +383,7 @@ def _registration_scan_fused(
     def step(carry, _):
         qc, tc = carry
         moved = quat_rotate(qc, filtered_source) + tc
-        corr, overflow = fused_grid_search(
+        corr, overflow, gathered = fused_grid_search(
             moved,
             source_valid,
             cand_xyz,
@@ -396,13 +396,17 @@ def _registration_scan_fused(
             radius=radius,
             n_lanes=n_lanes,
             interpret=interpret,
+            return_points=True,
         )
         if overflow_pts.shape[0]:
+            # The merge can reorder/replace selections, so re-gather then
+            # (the overflow set exists only under pathological occupancy
+            # skew, where the dense engine is normally gated off anyway).
             corr = merge_overflow(
                 corr, moved, overflow_pts, overflow_idx,
                 k=k, radius=radius, source_valid=source_valid,
             )
-        gathered = target[corr.indices]
+            gathered = target[corr.indices]
         res = em_lm_solve(moved, gathered, corr.mask, q0, t0, lm_config)
         qn = quat_normalize(res.q)
         q_new = quat_multiply(qn, qc)
@@ -557,12 +561,30 @@ class ProbabilisticRegistration:
 
         tg, n_tgt = pad_cloud(target, params.pad_multiple, pad_value=0.0)
         grid = None
+        pool_plan = None
         if params.search_impl in ("auto", "grid", "fused", "pool"):
             grid = build_grid_host(
                 tg, params.radius, num_valid=n_tgt,
                 max_overflow=params.grid_max_overflow,
             )
-        return {"target_cloud": target, "tg": tg, "n_tgt": n_tgt, "grid": grid}
+        if grid is not None and params.search_impl in ("auto", "pool"):
+            from ..ops import fused_grid as _fg
+            from ..ops.fused_pool import plan_pool_host
+
+            counts = (grid["bucket_idx"] >= 0).sum(axis=1)
+            est_rows = int(np.ceil(counts / _fg.GROUP).sum()) * _fg.GROUP
+            if params.search_impl == "pool" or est_rows > 1.7 * tg.shape[0]:
+                # Sparse scan: precompute the pooled engine's host plan here
+                # (dilation + class planning + packed sort — ~0.5 s at KITTI
+                # scale) so sequence pipelines overlap it with device compute.
+                pool_plan = plan_pool_host(grid, tg)
+        return {
+            "target_cloud": target,
+            "tg": tg,
+            "n_tgt": n_tgt,
+            "grid": grid,
+            "pool_plan": pool_plan,
+        }
 
     def __init__(
         self,
@@ -709,11 +731,15 @@ class ProbabilisticRegistration:
                 params.search_impl == "auto" and on_tpu and not dense_fit
             ):
                 # Sparse scans (LiDAR): width-class pools sized to each
-                # window's real candidate union.
+                # window's real candidate union. The host plan may have been
+                # precomputed on the sequence pipeline's target-prep thread.
                 from ..ops import fused_pool as _fp
 
                 pool = _fp.build_pool_prepack(
-                    grid, prepared_target["tg"], dtype=np_dtype
+                    grid,
+                    prepared_target["tg"],
+                    dtype=np_dtype,
+                    plan=prepared_target.get("pool_plan"),
                 )
                 if pool is not None:
                     self._pool = pool

@@ -217,10 +217,9 @@ def _assemble_pool_class(packed_sorted, cell_start, cell_count, nrows_c,
     return xyz, idx
 
 
-def build_pool_prepack(
-    grid_host: dict, target: np.ndarray, dtype=np.float32
-) -> PoolPrepack | None:
-    """Build the pooled fused-search state (host planning + device packing).
+def plan_pool_host(grid_host: dict, target: np.ndarray) -> dict | None:
+    """Host-only half of the pool prepack (pure numpy — sequence pipelines
+    run it on the target-prep thread, models/odometry.py).
 
     ``target`` is the (padded) target cloud the grid was built over (only its
     first ``num_valid`` rows are read). Returns None when the scan doesn't
@@ -232,7 +231,6 @@ def build_pool_prepack(
     dil = dilate_cells_host(grid_host, counts=counts_full, dense_lut=False)
     if dil is None:
         return None
-    ud = dil["n_dilated"]
     nrows = dil["nrows"]  # (UD, 27), width-sorted
     union = dil["union"]
     widths, ends = _plan_classes(union)
@@ -253,65 +251,27 @@ def build_pool_prepack(
     packed[n, :3] = _BIG
     packed[n, 3] = np.int32(-1).view(np.float32)
 
-    dev = jax.device_put(
-        {
-            "packed": packed,
-            "cell_start": grid_host["cell_start"],
-            "cell_count": grid_host["cell_count"],
-            "nrows": nrows,
-            "d_cells": dil["d_cells"],
-            "dims_d": dil["dims_d"],
-            "origin_d": dil["origin_d"].astype(dtype),
-            "width_lut": dil["width_lut"],
-        }
-    )
-    # Dense extended-grid LUT built by a device scatter: >100 MB of host
-    # write + tunnel upload at KITTI scale if materialized host-side.
-    lut_d = _scatter_lut(dev["d_cells"], prod_d=dil["prod_d"])
-
-    # Pow2-padded real widths (min 8): the per-element pool gather is the
-    # prepack's dominant cost, so each class is assembled in sub-width
-    # chunks (windows are width-sorted globally, so sub-chunks are contiguous
-    # row ranges) and lane-padded up to the class width afterwards — the pad
-    # is a sequential write at HBM bandwidth, the gather only touches
-    # ~real-union lanes.
+    # Sub-width assembly splits: pow2-padded real widths (min 8). The
+    # per-element pool gather dominates device packing, so each class is
+    # assembled in sub-width chunks (windows are width-sorted globally, so
+    # sub-chunks are contiguous row ranges) and lane-padded up to the class
+    # width afterwards — the pad is a sequential write at HBM bandwidth, the
+    # gather only touches ~real-union lanes.
     w_pow2 = np.maximum(
         8, 1 << np.ceil(np.log2(np.maximum(union, 1))).astype(np.int64)
     )
-    pool_xyz, pool_idx = [], []
+    subs = []
     prev = 0
     for w_c, e_c in zip(widths, ends):
         cls_w = np.minimum(w_pow2[prev:e_c], w_c)
-        parts_xyz, parts_idx = [], []
+        cls_subs = []
         s0 = 0
         while s0 < e_c - prev:
             sw = int(cls_w[s0])
             s1 = int(np.searchsorted(-cls_w, -sw, side="right"))
-            block = _pool_block(s1 - s0, sw)
-            xyz, idx = _assemble_pool_class(
-                dev["packed"],
-                dev["cell_start"],
-                dev["cell_count"],
-                dev["nrows"][prev + s0 : prev + s1],
-                w_c=sw,
-                n_rows=round_up(s1 - s0, block),
-            )
-            if sw < w_c:
-                xyz = jnp.pad(
-                    xyz, ((0, 0), (0, 0), (0, w_c - sw)),
-                    constant_values=np.asarray(_BIG, xyz.dtype),
-                )
-                idx = jnp.pad(
-                    idx, ((0, 0), (0, w_c - sw)), constant_values=-1
-                )
-            parts_xyz.append(xyz.astype(dtype))
-            parts_idx.append(idx)
+            cls_subs.append((s0, s1, sw))
             s0 = s1
-        # Dead window (row n_c): constructed directly, nothing to gather.
-        parts_xyz.append(jnp.full((1, 3, w_c), _BIG, dtype))
-        parts_idx.append(jnp.full((1, w_c), -1, jnp.int32))
-        pool_xyz.append(jnp.concatenate(parts_xyz, axis=0))
-        pool_idx.append(jnp.concatenate(parts_idx, axis=0))
+        subs.append(cls_subs)
         prev = e_c
 
     # Row budget: target occupancy predicts source grouping for overlapping
@@ -342,19 +302,98 @@ def build_pool_prepack(
             b = round_up(2 * cum_groups + 4 * BLOCK_GROUPS, BLOCK_GROUPS)
             budgets.append(min(ng, b))
 
+    return {
+        "dil": dil,
+        "widths": widths,
+        "ends": ends,
+        "subs": subs,
+        "packed": packed,
+        "budgets": budgets,
+        "budget_rows": budget_rows,
+        "cell_start": grid_host["cell_start"],
+        "cell_count": grid_host["cell_count"],
+        "cell_size": grid_host["cell_size"],
+    }
+
+
+def build_pool_prepack(
+    grid_host: dict,
+    target: np.ndarray,
+    dtype=np.float32,
+    plan: dict | None = None,
+) -> PoolPrepack | None:
+    """Build the pooled fused-search state (host plan + device packing).
+
+    Pass a precomputed ``plan`` (from :func:`plan_pool_host`, e.g. built on
+    the sequence pipeline's target-prep thread) to skip the host half here.
+    """
+    if plan is None:
+        plan = plan_pool_host(grid_host, target)
+    if plan is None:
+        return None
+    dil = plan["dil"]
+    widths, ends = plan["widths"], plan["ends"]
+
+    dev = jax.device_put(
+        {
+            "packed": plan["packed"],
+            "cell_start": plan["cell_start"],
+            "cell_count": plan["cell_count"],
+            "nrows": dil["nrows"],
+            "d_cells": dil["d_cells"],
+            "dims_d": dil["dims_d"],
+            "origin_d": dil["origin_d"].astype(dtype),
+            "width_lut": dil["width_lut"],
+        }
+    )
+    # Dense extended-grid LUT built by a device scatter: >100 MB of host
+    # write + tunnel upload at KITTI scale if materialized host-side.
+    lut_d = _scatter_lut(dev["d_cells"], prod_d=dil["prod_d"])
+
+    pool_xyz, pool_idx = [], []
+    prev = 0
+    for (w_c, e_c), cls_subs in zip(zip(widths, ends), plan["subs"]):
+        parts_xyz, parts_idx = [], []
+        for s0, s1, sw in cls_subs:
+            block = _pool_block(s1 - s0, sw)
+            xyz, idx = _assemble_pool_class(
+                dev["packed"],
+                dev["cell_start"],
+                dev["cell_count"],
+                dev["nrows"][prev + s0 : prev + s1],
+                w_c=sw,
+                n_rows=round_up(s1 - s0, block),
+            )
+            if sw < w_c:
+                xyz = jnp.pad(
+                    xyz, ((0, 0), (0, 0), (0, w_c - sw)),
+                    constant_values=np.asarray(_BIG, xyz.dtype),
+                )
+                idx = jnp.pad(
+                    idx, ((0, 0), (0, w_c - sw)), constant_values=-1
+                )
+            parts_xyz.append(xyz.astype(dtype))
+            parts_idx.append(idx)
+        # Dead window (row n_c): constructed directly, nothing to gather.
+        parts_xyz.append(jnp.full((1, 3, w_c), _BIG, dtype))
+        parts_idx.append(jnp.full((1, w_c), -1, jnp.int32))
+        pool_xyz.append(jnp.concatenate(parts_xyz, axis=0))
+        pool_idx.append(jnp.concatenate(parts_idx, axis=0))
+        prev = e_c
+
     return PoolPrepack(
         pool_xyz=tuple(pool_xyz),
         pool_idx=tuple(pool_idx),
         class_widths=tuple(widths),
         class_ends=tuple(ends),
-        class_budgets=tuple(budgets),
+        class_budgets=tuple(plan["budgets"]),
         width_lut=dev["width_lut"],
         lut_d=lut_d,
         origin_d=dev["origin_d"],
         dims_d=dev["dims_d"],
-        budget_rows=budget_rows,
-        n_dilated=ud,
-        cell_size=grid_host["cell_size"],
+        budget_rows=plan["budget_rows"],
+        n_dilated=dil["n_dilated"],
+        cell_size=plan["cell_size"],
     )
 
 
