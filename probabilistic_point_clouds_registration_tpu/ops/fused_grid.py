@@ -165,8 +165,9 @@ def dilate_cells_host(
     union = union[perm]
     # Dilated cell ids in the (+2) extended search grid (row j of the
     # width-sorted numbering lives at extended-linear d_cells[j]).
-    xe = d_cells_e[perm] % e0
-    re_ = d_cells_e[perm] // e0
+    d_cells_e = d_cells_e[perm]
+    xe = d_cells_e % e0
+    re_ = d_cells_e // e0
     ye = re_ % e1
     ze = re_ // e1
     d0, d1 = int(dims_d[0]), int(dims_d[1])
@@ -195,6 +196,15 @@ def dilate_cells_host(
     else:
         out["d_cells"] = d_cells
         out["prod_d"] = prod_d
+        # Device-side neighbor-row computation (fused_pool.py): the (UD, 27)
+        # nrows table is ~27x the size of these seeds (28 MB vs ~1 MB at
+        # KITTI scale), so sparse-path callers upload the width-sorted
+        # double-extended cell ids + the occupied-cell scatter seeds and
+        # rebuild nrows with one device gather instead of shipping it.
+        out["d_cells_e"] = d_cells_e
+        out["base_e"] = base_e
+        out["prod_e"] = prod_e
+        out["e_dims"] = (e0, e1)
     return out
 
 

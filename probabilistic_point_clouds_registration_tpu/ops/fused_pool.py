@@ -136,7 +136,6 @@ def _plan_classes(union: np.ndarray) -> tuple[list[int], list[int]]:
     return widths_out, ends_out
 
 
-@partial(jax.jit, static_argnames=("prod_d",))
 def _scatter_lut(d_cells, *, prod_d: int):
     ud = d_cells.shape[0]
     return (
@@ -146,13 +145,83 @@ def _scatter_lut(d_cells, *, prod_d: int):
     )
 
 
+def _neighbor_rows(base_e, d_cells_e, off_e, *, prod_e: int):
+    """Device rebuild of the (UD, 27) neighbor-row table.
+
+    ``base_e`` are the occupied cells' double-extended linear ids,
+    ``d_cells_e`` the width-sorted dilated cells' ids in the same space, and
+    ``off_e`` the 27 linear neighbor offsets (x slowest, z fastest — the
+    shared engine tie order). The double-extended border ring makes every
+    ``d_cells_e + off_e`` in bounds by construction, so one scatter + one
+    gather replace the 28 MB host-materialized table the prepack used to
+    upload (~0.3 s at the tunnel's ~90 MB/s; the seeds are ~1 MB).
+    ``prod_e`` is pow2-padded by the caller so per-pair grid-extent changes
+    don't recompile this.
+    """
+    u = base_e.shape[0]
+    occ = (
+        jnp.full((prod_e,), -1, jnp.int32)
+        .at[base_e]
+        .set(jnp.arange(u, dtype=jnp.int32))
+    )
+    return occ[d_cells_e[:, None] + off_e[None, :]]
+
+
+@partial(jax.jit, static_argnames=("plan_key",))
+def _build_pools(packed, cell_start, cell_count, base_e, d_cells_e, off_e,
+                 d_cells, *, plan_key):
+    """The whole device half of the pool prepack as ONE program.
+
+    ``plan_key`` is the static pool geometry from :func:`plan_pool_host`:
+    (class widths, class ends, per-class sub-chunk splits, pow2-padded
+    prod_d, pow2-padded prod_e, dtype name). Returns
+    (pool_xyz tuple, pool_idx tuple, lut_d).
+    """
+    widths, ends, subs, prod_d, prod_e, dtype_name = plan_key
+    dtype = jnp.dtype(dtype_name)
+    lut_d = _scatter_lut(d_cells, prod_d=prod_d)
+    nrows_dev = _neighbor_rows(
+        base_e, d_cells_e, off_e, prod_e=prod_e
+    )
+    pool_xyz, pool_idx = [], []
+    prev = 0
+    for (w_c, e_c), cls_subs in zip(zip(widths, ends), subs):
+        parts_xyz, parts_idx = [], []
+        for s0, s1, sw in cls_subs:
+            block = _pool_block(s1 - s0, sw)
+            xyz, idx = _assemble_pool_class(
+                packed,
+                cell_start,
+                cell_count,
+                nrows_dev[prev + s0 : prev + s1],
+                w_c=sw,
+                n_rows=round_up(s1 - s0, block),
+            )
+            if sw < w_c:
+                xyz = jnp.pad(
+                    xyz, ((0, 0), (0, 0), (0, w_c - sw)),
+                    constant_values=np.asarray(_BIG, xyz.dtype),
+                )
+                idx = jnp.pad(
+                    idx, ((0, 0), (0, w_c - sw)), constant_values=-1
+                )
+            parts_xyz.append(xyz.astype(dtype))
+            parts_idx.append(idx)
+        # Dead window (row n_c): constructed directly, nothing to gather.
+        parts_xyz.append(jnp.full((1, 3, w_c), _BIG, dtype))
+        parts_idx.append(jnp.full((1, w_c), -1, jnp.int32))
+        pool_xyz.append(jnp.concatenate(parts_xyz, axis=0))
+        pool_idx.append(jnp.concatenate(parts_idx, axis=0))
+        prev = e_c
+    return tuple(pool_xyz), tuple(pool_idx), lut_d
+
+
 def _pool_block(n_rows: int, w_c: int) -> int:
     """Rows per lax.map chunk in pool assembly (bounds the (B, W, 27) owner
     transient to ~0.5 GB of int32)."""
     return max(1, min(n_rows, (1 << 22) // max(w_c, 1)))
 
 
-@partial(jax.jit, static_argnames=("w_c", "n_rows"))
 def _assemble_pool_class(packed_sorted, cell_start, cell_count, nrows_c,
                          *, w_c: int, n_rows: int):
     """Pack one width class's candidate windows from the cell-sorted target.
@@ -302,6 +371,12 @@ def plan_pool_host(grid_host: dict, target: np.ndarray) -> dict | None:
             b = round_up(2 * cum_groups + 4 * BLOCK_GROUPS, BLOCK_GROUPS)
             budgets.append(min(ng, b))
 
+    e0, e1 = dil["e_dims"]
+    ox, oy, oz = np.meshgrid(
+        *([np.arange(-1, 2, dtype=np.int32)] * 3), indexing="ij"
+    )
+    off_e = (ox + e0 * (oy + e1 * oz)).reshape(27).astype(np.int32)
+
     return {
         "dil": dil,
         "widths": widths,
@@ -310,6 +385,7 @@ def plan_pool_host(grid_host: dict, target: np.ndarray) -> dict | None:
         "packed": packed,
         "budgets": budgets,
         "budget_rows": budget_rows,
+        "off_e": off_e,
         "cell_start": grid_host["cell_start"],
         "cell_count": grid_host["cell_count"],
         "cell_size": grid_host["cell_size"],
@@ -339,47 +415,43 @@ def build_pool_prepack(
             "packed": plan["packed"],
             "cell_start": plan["cell_start"],
             "cell_count": plan["cell_count"],
-            "nrows": dil["nrows"],
+            "base_e": dil["base_e"],
+            "d_cells_e": dil["d_cells_e"],
+            "off_e": plan["off_e"],
             "d_cells": dil["d_cells"],
             "dims_d": dil["dims_d"],
             "origin_d": dil["origin_d"].astype(dtype),
             "width_lut": dil["width_lut"],
         }
     )
-    # Dense extended-grid LUT built by a device scatter: >100 MB of host
-    # write + tunnel upload at KITTI scale if materialized host-side.
-    lut_d = _scatter_lut(dev["d_cells"], prod_d=dil["prod_d"])
-
-    pool_xyz, pool_idx = [], []
-    prev = 0
-    for (w_c, e_c), cls_subs in zip(zip(widths, ends), plan["subs"]):
-        parts_xyz, parts_idx = [], []
-        for s0, s1, sw in cls_subs:
-            block = _pool_block(s1 - s0, sw)
-            xyz, idx = _assemble_pool_class(
-                dev["packed"],
-                dev["cell_start"],
-                dev["cell_count"],
-                dev["nrows"][prev + s0 : prev + s1],
-                w_c=sw,
-                n_rows=round_up(s1 - s0, block),
-            )
-            if sw < w_c:
-                xyz = jnp.pad(
-                    xyz, ((0, 0), (0, 0), (0, w_c - sw)),
-                    constant_values=np.asarray(_BIG, xyz.dtype),
-                )
-                idx = jnp.pad(
-                    idx, ((0, 0), (0, w_c - sw)), constant_values=-1
-                )
-            parts_xyz.append(xyz.astype(dtype))
-            parts_idx.append(idx)
-        # Dead window (row n_c): constructed directly, nothing to gather.
-        parts_xyz.append(jnp.full((1, 3, w_c), _BIG, dtype))
-        parts_idx.append(jnp.full((1, w_c), -1, jnp.int32))
-        pool_xyz.append(jnp.concatenate(parts_xyz, axis=0))
-        pool_idx.append(jnp.concatenate(parts_idx, axis=0))
-        prev = e_c
+    # One fused device program builds everything: the dense extended-grid
+    # LUT (a >100 MB host write + tunnel upload at KITTI scale if
+    # materialized host-side), the (UD, 27) neighbor-row table (28 MB
+    # shipped vs ~1 MB of seeds), and every width-class pool. Fusing the
+    # ~30 constituent ops into one jit matters on the tunnel: each dispatch
+    # costs ~25 ms of RPC latency, which dominated the warm ctor (~0.8 s of
+    # pure dispatch). Scatter-table sizes are pow2-padded so per-pair grid
+    # extents don't recompile; the sub-chunk split (static) still keys the
+    # compile — one compile per pool GEOMETRY, reused across a sequence
+    # only when plan_pool_host's bucketing repeats.
+    plan_key = (
+        tuple(widths),
+        tuple(ends),
+        tuple(tuple(cs) for cs in plan["subs"]),
+        1 << (max(dil["prod_d"], 2) - 1).bit_length(),
+        1 << (max(dil["prod_e"], 2) - 1).bit_length(),
+        np.dtype(dtype).name,
+    )
+    pool_xyz, pool_idx, lut_d = _build_pools(
+        dev["packed"],
+        dev["cell_start"],
+        dev["cell_count"],
+        dev["base_e"],
+        dev["d_cells_e"],
+        dev["off_e"],
+        dev["d_cells"],
+        plan_key=plan_key,
+    )
 
     return PoolPrepack(
         pool_xyz=tuple(pool_xyz),
