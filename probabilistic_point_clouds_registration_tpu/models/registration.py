@@ -346,7 +346,10 @@ def _registration_scan_brute(
 
 @partial(
     jax.jit,
-    static_argnames=("k", "radius", "lm_config", "n_lanes", "chunk", "interpret"),
+    static_argnames=(
+        "k", "radius", "lm_config", "n_lanes", "chunk", "interpret",
+        "dyn_rounds",
+    ),
 )
 def _registration_scan_fused(
     filtered_source,
@@ -355,6 +358,7 @@ def _registration_scan_fused(
     cand_xyz,
     cand_idx,
     width_lut,
+    union_lut,
     lut_d,
     origin_d,
     dims_d,
@@ -371,6 +375,7 @@ def _registration_scan_fused(
     n_lanes: int,
     chunk: int,
     interpret: bool = False,
+    dyn_rounds: bool = False,
 ):
     """``chunk`` outer iterations with the fused grouped Pallas engine
     (ops/fused_grid.py), plus the hot-cell overflow merge. Emits a
@@ -389,6 +394,7 @@ def _registration_scan_fused(
             cand_xyz,
             cand_idx,
             width_lut,
+            union_lut,
             lut_d,
             origin_d,
             dims_d,
@@ -397,6 +403,7 @@ def _registration_scan_fused(
             n_lanes=n_lanes,
             interpret=interpret,
             return_points=True,
+            dyn_rounds=dyn_rounds,
         )
         if overflow_pts.shape[0]:
             # The merge can reorder/replace selections, so re-gather then
@@ -431,7 +438,7 @@ def _registration_scan_fused(
     jax.jit,
     static_argnames=(
         "k", "radius", "lm_config", "class_widths", "class_ends",
-        "class_budgets", "budget_rows", "chunk", "interpret",
+        "class_budgets", "budget_rows", "chunk", "interpret", "dyn_rounds",
     ),
 )
 def _registration_scan_pool(
@@ -440,6 +447,7 @@ def _registration_scan_pool(
     pool_xyz,
     pool_idx,
     width_lut,
+    union_lut,
     lut_d,
     origin_d,
     dims_d,
@@ -457,6 +465,7 @@ def _registration_scan_pool(
     budget_rows: int,
     chunk: int,
     interpret: bool = False,
+    dyn_rounds: bool = False,
 ):
     """``chunk`` outer iterations with the capacity-free pooled engine
     (ops/fused_pool.py) — the sparse/LiDAR-scale path. The select kernel
@@ -477,6 +486,7 @@ def _registration_scan_pool(
             pool_xyz,
             pool_idx,
             width_lut,
+            union_lut,
             lut_d,
             origin_d,
             dims_d,
@@ -488,6 +498,7 @@ def _registration_scan_pool(
             budget_rows=budget_rows,
             interpret=interpret,
             return_points=True,
+            dyn_rounds=dyn_rounds,
         )
         res = em_lm_solve(moved, gathered, corr.mask, q0, t0, lm_config)
         qn = quat_normalize(res.q)
@@ -719,7 +730,7 @@ class ProbabilisticRegistration:
                 # Dense scans: the grouped engine's single full-width prepack
                 # (explicit "fused" skips the fit estimate; the runtime
                 # overflow flag still protects correctness).
-                pre = _fg.build_prepack(grid, self._grid)
+                pre = _fg.build_prepack(grid, self._grid, k=params.max_neighbours)
                 if pre is not None:
                     self._prepack = pre
                     self._fused_interpret = not on_tpu
@@ -740,6 +751,7 @@ class ProbabilisticRegistration:
                     prepared_target["tg"],
                     dtype=np_dtype,
                     plan=prepared_target.get("pool_plan"),
+                    k=params.max_neighbours,
                 )
                 if pool is not None:
                     self._pool = pool
@@ -915,6 +927,7 @@ class ProbabilisticRegistration:
                     pre.cand_xyz,
                     pre.cand_idx,
                     pre.width_lut,
+                    pre.union_lut,
                     pre.lut_d,
                     pre.origin_d,
                     pre.dims_d,
@@ -930,6 +943,7 @@ class ProbabilisticRegistration:
                     n_lanes=pre.n_lanes,
                     chunk=fchunk,
                     interpret=self._fused_interpret,
+                    dyn_rounds=pre.small_unions,
                 )
                 *rows, ovf = jax.device_get(outs)
                 if int(np.sum(ovf)) > 0:
@@ -957,6 +971,7 @@ class ProbabilisticRegistration:
                     pool.pool_xyz,
                     pool.pool_idx,
                     pool.width_lut,
+                    pool.union_lut,
                     pool.lut_d,
                     pool.origin_d,
                     pool.dims_d,
@@ -973,6 +988,7 @@ class ProbabilisticRegistration:
                     budget_rows=budget,
                     chunk=fchunk,
                     interpret=self._fused_interpret,
+                    dyn_rounds=pool.small_unions,
                 )
                 *rows, ovf = jax.device_get(outs)
                 if int(np.sum(ovf)) > 0:

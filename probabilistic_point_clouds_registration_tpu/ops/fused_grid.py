@@ -71,12 +71,16 @@ class PrepackedGrid(NamedTuple):
     cand_xyz: jnp.ndarray
     cand_idx: jnp.ndarray
     width_lut: jnp.ndarray  # (UD+1,) int32 per-window kernel width (lanes)
+    union_lut: jnp.ndarray  # (UD+1,) int32 real candidate union per window
     lut_d: jnp.ndarray
     origin_d: jnp.ndarray
     dims_d: jnp.ndarray
     n_lanes: int
     n_dilated: int
     cell_size: float
+    # Expected-rounds hint: True when enough windows have real unions below
+    # a typical k that the counted extraction loop beats the static unroll.
+    small_unions: bool = False
 
 
 def dilate_cells_host(
@@ -188,6 +192,11 @@ def dilate_cells_host(
         "max_union": max_union,
         "union": union,  # (UD,) descending real candidate counts
         "width_lut": width_lut,  # (UD+1,) int32
+        # Real (unpadded) candidate union per window: bounds the number of
+        # k-extraction rounds a block can possibly need (dead row = 0).
+        "union_lut": np.concatenate(
+            [union.astype(np.int32), np.zeros((1,), np.int32)]
+        ),
     }
     if dense_lut:
         lut_d = np.full((prod_d,), -1, dtype=np.int32)
@@ -272,12 +281,13 @@ def _assemble_prepack(bucket_pts, bucket_idx, nrows, *, capacity: int, n_lanes: 
     return cand_xyz, cand_idx
 
 
-def build_prepack(grid_host: dict, device_grid) -> PrepackedGrid | None:
+def build_prepack(grid_host: dict, device_grid, k: int = 20) -> PrepackedGrid | None:
     """Build the per-pair fused-search state.
 
     Args:
       grid_host: dict from ops.grid.build_grid_host (numpy arrays).
       device_grid: the HashGrid already on device (bucket tensors reused).
+      k: expected neighbour count — only tunes the extraction-loop hint.
     """
     dil = dilate_cells_host(grid_host)
     if dil is None:
@@ -298,6 +308,7 @@ def build_prepack(grid_host: dict, device_grid) -> PrepackedGrid | None:
                 np.dtype(device_grid.bucket_pts.dtype)
             ),
             "width_lut": np.minimum(dil["width_lut"], n_lanes),
+            "union_lut": dil["union_lut"],
         }
     )
     cand_xyz, cand_idx = _assemble_prepack(
@@ -311,13 +322,25 @@ def build_prepack(grid_host: dict, device_grid) -> PrepackedGrid | None:
         cand_xyz=cand_xyz,
         cand_idx=cand_idx,
         width_lut=dev["width_lut"],
+        union_lut=dev["union_lut"],
         lut_d=dev["lut_d"],
         origin_d=dev["origin_d"],
         dims_d=dev["dims_d"],
         n_lanes=n_lanes,
         n_dilated=dil["n_dilated"],
         cell_size=grid_host["cell_size"],
+        small_unions=_small_unions(dil["union"], k),
     )
+
+
+def _small_unions(union: np.ndarray, k: int) -> bool:
+    """True when the counted extraction loop is expected to beat the
+    static unroll: the loop saves (k - min(union, k)) rounds per block but
+    costs ~15% per executed round (measured 6.29 -> 7.24 ms/iter on the
+    dense 35k pair, 70.3 -> 60.4 on sparse KITTI)."""
+    if union.size == 0:
+        return False
+    return bool(np.mean(np.minimum(union, k)) < 0.75 * k)
 
 
 def _width_limits(n_lanes: int, max_branches: int = 8) -> list[int]:
@@ -330,8 +353,8 @@ def _width_limits(n_lanes: int, max_branches: int = 8) -> list[int]:
     return limits + [n_lanes]
 
 
-def _select_kernel(wb_ref, xyz_ref, idx_ref, src_ref, outd_ref, outi_ref,
-                   *outp_refs, k, kp, r2, n_lanes):
+def _select_kernel(wb_ref, ub_ref, xyz_ref, idx_ref, src_ref, outd_ref,
+                   outi_ref, *outp_refs, k, kp, r2, n_lanes, dyn_rounds):
     """Distances + k-nearest extraction for BLOCK_GROUPS candidate windows.
 
     All arrays live in VMEM; the 20-round min-extraction that costs ~35 ms
@@ -361,6 +384,13 @@ def _select_kernel(wb_ref, xyz_ref, idx_ref, src_ref, outd_ref, outi_ref,
     # lane-padded to 128 — 2.8 MB > the 1 MB SMEM budget at KITTI-scale
     # block counts; Mosaic's (8,128) rule also forbids a (1,1) block).
     wb = wb_ref[pl.program_id(0)]
+    # Dynamic extraction-round bound: a block whose widest window holds ub
+    # real candidates can never fill more than ub of the k slots, so the
+    # min-extraction loop runs min(k, ub) trips instead of k. Rounds past
+    # exhaustion never write (the `m < big` gate), so this is bit-exact.
+    # At KITTI scale the dominant narrow class has unions of 1-32 against
+    # k=20 — most blocks run a fraction of the static trip count.
+    rounds = jnp.minimum(jnp.int32(k), ub_ref[pl.program_id(0)])
     col = lax.broadcasted_iota(jnp.int32, (bs, kp), 1)
 
     @pl.when(wb == 0)
@@ -392,29 +422,56 @@ def _select_kernel(wb_ref, xyz_ref, idx_ref, src_ref, outd_ref, outi_ref,
         d2 = jnp.where(live, d2, big)
 
         lane = lax.broadcasted_iota(jnp.int32, (bs, lim), 1)
-        outd = jnp.full((bs, kp), big, jnp.float32)
-        outi = jnp.full((bs, kp), -1, jnp.int32)
+        outd0 = jnp.full((bs, kp), big, jnp.float32)
+        outi0 = jnp.full((bs, kp), -1, jnp.int32)
         if outp_ref is not None:
-            opx = jnp.zeros((bs, kp), jnp.float32)
-            opy = jnp.zeros((bs, kp), jnp.float32)
-            opz = jnp.zeros((bs, kp), jnp.float32)
-        for r in range(k):
+            op0 = (
+                jnp.zeros((bs, kp), jnp.float32),
+                jnp.zeros((bs, kp), jnp.float32),
+                jnp.zeros((bs, kp), jnp.float32),
+            )
+        else:
+            op0 = ()
+
+        def round_body(r, carry):
+            d2, outd, outi, *ops = carry
             m = jnp.min(d2, axis=1, keepdims=True)
             amin = jnp.min(jnp.where(d2 == m, lane, lim), axis=1, keepdims=True)
             sel = lane == amin
-            chosen = jnp.sum(jnp.where(sel, ci, 0), axis=1, keepdims=True)
+            chosen = jnp.sum(
+                jnp.where(sel, ci, 0), axis=1, keepdims=True, dtype=jnp.int32
+            )
             d2 = jnp.where(sel, big, d2)
             hit = (col == r) & (m < big)
             outd = jnp.where(hit, m, outd)
             outi = jnp.where(hit, chosen, outi)
-            if outp_ref is not None:
-                opx = jnp.where(hit, jnp.sum(jnp.where(sel, cx, 0.0), axis=1, keepdims=True), opx)
-                opy = jnp.where(hit, jnp.sum(jnp.where(sel, cy, 0.0), axis=1, keepdims=True), opy)
-                opz = jnp.where(hit, jnp.sum(jnp.where(sel, cz, 0.0), axis=1, keepdims=True), opz)
+            if ops:
+                ops = tuple(
+                    jnp.where(
+                        hit,
+                        jnp.sum(jnp.where(sel, c, 0.0), axis=1, keepdims=True),
+                        op,
+                    )
+                    for op, c in zip(ops, (cx, cy, cz))
+                )
+            return (d2, outd, outi, *ops)
+
+        if dyn_rounds:
+            _, outd, outi, *ops = lax.fori_loop(
+                0, rounds, round_body, (d2, outd0, outi0, *op0)
+            )
+        else:
+            # Static unroll: ~15% faster than the counted loop when blocks
+            # genuinely need all k rounds (dense scans) — Mosaic pipelines
+            # the unrolled rounds across VPU issue slots.
+            carry = (d2, outd0, outi0, *op0)
+            for r in range(k):
+                carry = round_body(r, carry)
+            _, outd, outi, *ops = carry
         outd_ref[:] = outd
         outi_ref[:] = outi
         if outp_ref is not None:
-            outp_ref[:] = jnp.stack([opx, opy, opz], axis=1)
+            outp_ref[:] = jnp.stack(ops, axis=1)
 
     limits = _width_limits(n_lanes)
     lo = 0
@@ -476,15 +533,16 @@ def _group_by_window(source, source_valid, lut_d, origin_d, dims_d, ud,
     return padded, step_rows, order, dst, overflow
 
 
-def _run_select(padded, win_xyz, win_idx, w_blk, *, k, n_lanes, radius,
+def _run_select(padded, win_xyz, win_idx, w_blk, u_blk, *, k, n_lanes, radius,
                 block_groups=BLOCK_GROUPS, interpret=False,
-                return_points=False):
+                return_points=False, dyn_rounds=False):
     """Invoke the Pallas select kernel over pre-gathered candidate windows."""
     s_pad = padded.shape[0]
     ng = s_pad // GROUP
     kp = 32 if k <= 32 else round_up(k, 128)
     kernel = partial(
-        _select_kernel, k=k, kp=kp, r2=np.float32(radius) ** 2, n_lanes=n_lanes
+        _select_kernel, k=k, kp=kp, r2=np.float32(radius) ** 2,
+        n_lanes=n_lanes, dyn_rounds=dyn_rounds,
     )
     bs = block_groups * GROUP
     out_specs = [
@@ -506,6 +564,7 @@ def _run_select(padded, win_xyz, win_idx, w_blk, *, k, n_lanes, radius,
         grid=(ng // block_groups,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(
                 (block_groups, 3, n_lanes), lambda i: (i, 0, 0),
                 memory_space=pltpu.VMEM,
@@ -517,7 +576,8 @@ def _run_select(padded, win_xyz, win_idx, w_blk, *, k, n_lanes, radius,
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
-    )(w_blk, win_xyz.astype(jnp.float32), win_idx, padded.astype(jnp.float32))
+    )(w_blk, u_blk, win_xyz.astype(jnp.float32), win_idx,
+      padded.astype(jnp.float32))
     return outs if return_points else (outs[0], outs[1], None)
 
 
@@ -546,7 +606,7 @@ def _unsort_results(outd, outi, outp, order, dst, *, k, n, dtype):
 
 @partial(
     jax.jit,
-    static_argnames=("k", "radius", "n_lanes", "interpret", "budget_rows",
+    static_argnames=("k", "radius", "n_lanes", "interpret", "budget_rows", "dyn_rounds",
                      "return_points"),
 )
 def fused_grid_search(
@@ -555,6 +615,7 @@ def fused_grid_search(
     cand_xyz,
     cand_idx,
     width_lut,
+    union_lut,
     lut_d,
     origin_d,
     dims_d,
@@ -565,6 +626,7 @@ def fused_grid_search(
     interpret: bool = False,
     budget_rows: int | None = None,
     return_points: bool = False,
+    dyn_rounds: bool = False,
 ):
     """Radius-capped KNN via cell-grouped windows + the Pallas select kernel.
 
@@ -597,10 +659,15 @@ def fused_grid_search(
         width_lut[step_rows].reshape(ng // BLOCK_GROUPS, BLOCK_GROUPS),
         axis=1,
     )
+    u_blk = jnp.max(
+        union_lut[step_rows].reshape(ng // BLOCK_GROUPS, BLOCK_GROUPS),
+        axis=1,
+    )
 
     outd, outi, outp = _run_select(
-        padded, win_xyz, win_idx, w_blk, k=k, n_lanes=n_lanes, radius=radius,
-        interpret=interpret, return_points=return_points,
+        padded, win_xyz, win_idx, w_blk, u_blk, k=k, n_lanes=n_lanes,
+        radius=radius, interpret=interpret, return_points=return_points,
+        dyn_rounds=dyn_rounds,
     )
 
     corr, pts = _unsort_results(

@@ -52,6 +52,7 @@ from .fused_grid import (
     _BIG,
     _group_by_window,
     _run_select,
+    _small_unions,
     _unsort_results,
     dilate_cells_host,
 )
@@ -94,12 +95,14 @@ class PoolPrepack(NamedTuple):
     class_ends: tuple
     class_budgets: tuple
     width_lut: jnp.ndarray
+    union_lut: jnp.ndarray
     lut_d: jnp.ndarray
     origin_d: jnp.ndarray
     dims_d: jnp.ndarray
     budget_rows: int
     n_dilated: int
     cell_size: float
+    small_unions: bool = False
 
 
 def _plan_classes(union: np.ndarray) -> tuple[list[int], list[int]]:
@@ -397,6 +400,7 @@ def build_pool_prepack(
     target: np.ndarray,
     dtype=np.float32,
     plan: dict | None = None,
+    k: int = 20,
 ) -> PoolPrepack | None:
     """Build the pooled fused-search state (host plan + device packing).
 
@@ -422,6 +426,7 @@ def build_pool_prepack(
             "dims_d": dil["dims_d"],
             "origin_d": dil["origin_d"].astype(dtype),
             "width_lut": dil["width_lut"],
+            "union_lut": dil["union_lut"],
         }
     )
     # One fused device program builds everything: the dense extended-grid
@@ -460,12 +465,14 @@ def build_pool_prepack(
         class_ends=tuple(ends),
         class_budgets=tuple(plan["budgets"]),
         width_lut=dev["width_lut"],
+        union_lut=dev["union_lut"],
         lut_d=lut_d,
         origin_d=dev["origin_d"],
         dims_d=dev["dims_d"],
         budget_rows=plan["budget_rows"],
         n_dilated=dil["n_dilated"],
         cell_size=plan["cell_size"],
+        small_unions=_small_unions(dil["union"], k),
     )
 
 
@@ -473,7 +480,7 @@ def build_pool_prepack(
     jax.jit,
     static_argnames=(
         "k", "radius", "class_widths", "class_ends", "class_budgets",
-        "budget_rows", "interpret", "return_points",
+        "budget_rows", "interpret", "return_points", "dyn_rounds",
     ),
 )
 def fused_pool_search(
@@ -482,6 +489,7 @@ def fused_pool_search(
     pool_xyz,
     pool_idx,
     width_lut,
+    union_lut,
     lut_d,
     origin_d,
     dims_d,
@@ -494,6 +502,7 @@ def fused_pool_search(
     budget_rows: int,
     interpret: bool = False,
     return_points: bool = False,
+    dyn_rounds: bool = False,
 ):
     """Radius-capped KNN via width-class pools + the Pallas select kernel.
 
@@ -538,10 +547,16 @@ def fused_pool_search(
             ),
             axis=1,
         )
+        u_blk = jnp.max(
+            jnp.where(in_class, union_lut[rows_c], 0).reshape(
+                b_c // BLOCK_GROUPS, BLOCK_GROUPS
+            ),
+            axis=1,
+        )
         res = _run_select(
-            padded[: b_c * GROUP], win_xyz, win_idx, w_blk,
+            padded[: b_c * GROUP], win_xyz, win_idx, w_blk, u_blk,
             k=k, n_lanes=w_c, radius=radius, interpret=interpret,
-            return_points=return_points,
+            return_points=return_points, dyn_rounds=dyn_rounds,
         )
         sel = jnp.repeat(in_class[:, None], GROUP, axis=1).reshape(b_c * GROUP)[:, None]
         outd = outd.at[: b_c * GROUP].set(jnp.where(sel, res[0], outd[: b_c * GROUP]))

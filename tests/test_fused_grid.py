@@ -49,7 +49,7 @@ def _run_both(src, tgt, radius, k):
     assert pre is not None
     got, overflow = fused_grid_search(
         jnp.asarray(src_p, jnp.float32), sv,
-        pre.cand_xyz, pre.cand_idx, pre.width_lut, pre.lut_d, pre.origin_d,
+        pre.cand_xyz, pre.cand_idx, pre.width_lut, pre.union_lut, pre.lut_d, pre.origin_d,
         pre.dims_d, k=k, radius=radius, n_lanes=pre.n_lanes, interpret=True,
     )
     return ref, got, int(overflow), n_src
@@ -107,7 +107,7 @@ def test_fused_overflow_flag_fires_on_scattered_sources():
     sv = valid_mask(src_p.shape[0], n_src)
     got, overflow = fused_grid_search(
         jnp.asarray(src_p, jnp.float32), sv,
-        pre.cand_xyz, pre.cand_idx, pre.width_lut, pre.lut_d, pre.origin_d,
+        pre.cand_xyz, pre.cand_idx, pre.width_lut, pre.union_lut, pre.lut_d, pre.origin_d,
         pre.dims_d, k=4, radius=0.4, n_lanes=pre.n_lanes, interpret=True,
     )
     assert overflow > 0
