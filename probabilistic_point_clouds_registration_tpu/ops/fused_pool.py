@@ -18,18 +18,23 @@ windows in a few WIDTH-CLASS pools sized to each window's real candidate
 union (reference search semantics: src/prob_point_cloud_registration.cc:72-81):
 
   1. windows are already sorted by DESCENDING real union width (the dense
-     engine's width-predication order), so width classes are contiguous row
-     ranges: class 0 = the widest handful, the last class = the ~99% of
-     windows whose whole 27-cell union fits 128 lanes;
+     engine's width-predication order), so each pow2 width band is a
+     contiguous row range and becomes its own class: the widest handful at
+     their real width, down to the dominant w<=8 tail (~82% of KITTI
+     windows);
   2. each class c gets its own (n_c + 1, 3, W_c) pool, packed on device from
      contiguous [start, start+count) ranges of the CELL-SORTED target — no
      bucket capacity, so hot-cell points stay inline and the per-iteration
      overflow merge disappears (exact by construction);
   3. per iteration, sources group into cell-pure 8-row blocks exactly as in
-     the dense engine; pass c runs the width-predicated select kernel over
-     the first B_c groups only. Groups are sorted by window row == descending
-     width, so every class-c group provably lives in that prefix; a static
-     per-class budget with a runtime coverage flag replaces dynamic shapes.
+     the dense engine; pass c covers the first B_c groups only. Groups are
+     sorted by window row == descending width, so every class-c group
+     provably lives in that prefix; a static per-class budget with a runtime
+     coverage flag replaces dynamic shapes. Classes wider than
+     XLA_SELECT_MAX_W run the width-predicated Pallas select kernel; narrow
+     classes skip the kernel for a stable lax.top_k over their w-wide rows
+     (for w <= k that is no selection at all — every in-radius candidate is
+     a neighbor).
 
 Neighbor SETS are identical to the XLA engines'; ties at the k-th slot may
 resolve differently from the grid+overflow-merge path only within an exact
@@ -67,6 +72,14 @@ MAX_CLASS_LANES = 4096
 # capacity padding); beyond this the prepack declines and the caller stays
 # on the XLA engines.
 MAX_POOL_BYTES = 2 << 30
+# Width classes at or below this lane count skip the Pallas kernel: a
+# stable lax.top_k over the w-wide candidate rows reproduces the exact
+# (distance, lane) slot order of the min-extraction loop, and for w <= k
+# it is a plain stable sort (every in-radius candidate is a neighbor — no
+# selection exists to do). At KITTI scale ~82% of windows have real unions
+# <= 8 against k=20, so the dominant classes pay a few elementwise passes
+# instead of a k-round extraction.
+XLA_SELECT_MAX_W = 64
 
 
 class PoolPrepack(NamedTuple):
@@ -176,11 +189,10 @@ def _build_pools(packed, cell_start, cell_count, base_e, d_cells_e, off_e,
     """The whole device half of the pool prepack as ONE program.
 
     ``plan_key`` is the static pool geometry from :func:`plan_pool_host`:
-    (class widths, class ends, per-class sub-chunk splits, pow2-padded
-    prod_d, pow2-padded prod_e, dtype name). Returns
-    (pool_xyz tuple, pool_idx tuple, lut_d).
+    (pow2 class widths, class ends, pow2-padded prod_d, pow2-padded prod_e,
+    dtype name). Returns (pool_xyz tuple, pool_idx tuple, lut_d).
     """
-    widths, ends, subs, prod_d, prod_e, dtype_name = plan_key
+    widths, ends, prod_d, prod_e, dtype_name = plan_key
     dtype = jnp.dtype(dtype_name)
     lut_d = _scatter_lut(d_cells, prod_d=prod_d)
     nrows_dev = _neighbor_rows(
@@ -188,33 +200,28 @@ def _build_pools(packed, cell_start, cell_count, base_e, d_cells_e, off_e,
     )
     pool_xyz, pool_idx = [], []
     prev = 0
-    for (w_c, e_c), cls_subs in zip(zip(widths, ends), subs):
-        parts_xyz, parts_idx = [], []
-        for s0, s1, sw in cls_subs:
-            block = _pool_block(s1 - s0, sw)
-            xyz, idx = _assemble_pool_class(
-                packed,
-                cell_start,
-                cell_count,
-                nrows_dev[prev + s0 : prev + s1],
-                w_c=sw,
-                n_rows=round_up(s1 - s0, block),
-            )
-            if sw < w_c:
-                xyz = jnp.pad(
-                    xyz, ((0, 0), (0, 0), (0, w_c - sw)),
-                    constant_values=np.asarray(_BIG, xyz.dtype),
-                )
-                idx = jnp.pad(
-                    idx, ((0, 0), (0, w_c - sw)), constant_values=-1
-                )
-            parts_xyz.append(xyz.astype(dtype))
-            parts_idx.append(idx)
+    for w_c, e_c in zip(widths, ends):
+        n_c = e_c - prev
+        block = _pool_block(n_c, w_c)
+        xyz, idx = _assemble_pool_class(
+            packed,
+            cell_start,
+            cell_count,
+            nrows_dev[prev:e_c],
+            w_c=w_c,
+            n_rows=round_up(n_c, block),
+        )
         # Dead window (row n_c): constructed directly, nothing to gather.
-        parts_xyz.append(jnp.full((1, 3, w_c), _BIG, dtype))
-        parts_idx.append(jnp.full((1, w_c), -1, jnp.int32))
-        pool_xyz.append(jnp.concatenate(parts_xyz, axis=0))
-        pool_idx.append(jnp.concatenate(parts_idx, axis=0))
+        pool_xyz.append(
+            jnp.concatenate(
+                [xyz.astype(dtype), jnp.full((1, 3, w_c), _BIG, dtype)], axis=0
+            )
+        )
+        pool_idx.append(
+            jnp.concatenate(
+                [idx, jnp.full((1, w_c), -1, jnp.int32)], axis=0
+            )
+        )
         prev = e_c
     return tuple(pool_xyz), tuple(pool_idx), lut_d
 
@@ -308,12 +315,6 @@ def plan_pool_host(grid_host: dict, target: np.ndarray) -> dict | None:
     widths, ends = _plan_classes(union)
     if widths and widths[0] > MAX_CLASS_LANES:
         return None
-    pool_bytes = sum(
-        (e - (ends[c - 1] if c else 0) + 1) * w * 16
-        for c, (w, e) in enumerate(zip(widths, ends))
-    )
-    if pool_bytes > MAX_POOL_BYTES:
-        return None
 
     n = grid_host["num_valid"]
     order = grid_host["sort_order"]
@@ -323,28 +324,37 @@ def plan_pool_host(grid_host: dict, target: np.ndarray) -> dict | None:
     packed[n, :3] = _BIG
     packed[n, 3] = np.int32(-1).view(np.float32)
 
-    # Sub-width assembly splits: pow2-padded real widths (min 8). The
-    # per-element pool gather dominates device packing, so each class is
-    # assembled in sub-width chunks (windows are width-sorted globally, so
-    # sub-chunks are contiguous row ranges) and lane-padded up to the class
-    # width afterwards — the pad is a sequential write at HBM bandwidth, the
-    # gather only touches ~real-union lanes.
+    # Pow2 sub-width classes (min 8): windows are width-sorted globally, so
+    # each pow2 width band is a contiguous row range and becomes its OWN
+    # class: pools carry no lane padding (the per-element pool gather
+    # dominates device packing, so each class gathers only ~real-union
+    # lanes), wide classes run the select kernel at their own width, and
+    # narrow classes (w <= XLA_SELECT_MAX_W) skip the kernel entirely — for
+    # w <= k every in-radius candidate IS a neighbor, and a stable
+    # lax.top_k over the w-wide rows reproduces the exact (distance, lane)
+    # slot order of the min-extraction loop at trivial cost.
     w_pow2 = np.maximum(
         8, 1 << np.ceil(np.log2(np.maximum(union, 1))).astype(np.int64)
     )
-    subs = []
+    widths2, ends2 = [], []
     prev = 0
     for w_c, e_c in zip(widths, ends):
         cls_w = np.minimum(w_pow2[prev:e_c], w_c)
-        cls_subs = []
         s0 = 0
         while s0 < e_c - prev:
             sw = int(cls_w[s0])
             s1 = int(np.searchsorted(-cls_w, -sw, side="right"))
-            cls_subs.append((s0, s1, sw))
+            widths2.append(sw)
+            ends2.append(prev + s1)
             s0 = s1
-        subs.append(cls_subs)
         prev = e_c
+    widths, ends = widths2, ends2
+    pool_bytes = sum(
+        (e - (ends[c - 1] if c else 0) + 1) * w * 16
+        for c, (w, e) in enumerate(zip(widths, ends))
+    )
+    if pool_bytes > MAX_POOL_BYTES:
+        return None
 
     # Row budget: target occupancy predicts source grouping for overlapping
     # scans; 1.6x margin + the runtime overflow flag covers drift.
@@ -384,7 +394,6 @@ def plan_pool_host(grid_host: dict, target: np.ndarray) -> dict | None:
         "dil": dil,
         "widths": widths,
         "ends": ends,
-        "subs": subs,
         "packed": packed,
         "budgets": budgets,
         "budget_rows": budget_rows,
@@ -442,7 +451,6 @@ def build_pool_prepack(
     plan_key = (
         tuple(widths),
         tuple(ends),
-        tuple(tuple(cs) for cs in plan["subs"]),
         1 << (max(dil["prod_d"], 2) - 1).bit_length(),
         1 << (max(dil["prod_e"], 2) - 1).bit_length(),
         np.dtype(dtype).name,
@@ -474,6 +482,54 @@ def build_pool_prepack(
         cell_size=plan["cell_size"],
         small_unions=_small_unions(dil["union"], k),
     )
+
+
+def _xla_class_select(rows4, win_xyz, win_idx, *, k, kp, radius,
+                      return_points):
+    """Narrow-class select in plain XLA: distances + stable ``lax.top_k``.
+
+    ``rows4``: (B*GROUP, 4) padded sources (xyz + valid flag), ``win_xyz``:
+    (B, 3, w) per-group candidate windows, ``win_idx``: (B, w). Returns the
+    same (outd, outi, outp) contract as :func:`_run_select` at ``kp``
+    columns. ``lax.top_k`` on the negated distances breaks ties toward the
+    lower lane — exactly the (distance, lane) order of the kernel's
+    min-extraction — so results are bit-compatible; for w <= k it is a full
+    stable sort and no selection happens at all.
+    """
+    b, _, w = win_xyz.shape
+    big = jnp.float32(3e38)
+    src = rows4.reshape(b, GROUP, 4).astype(jnp.float32)
+    wx = win_xyz.astype(jnp.float32)
+    d = src[:, :, :3, None] - wx[:, None, :, :]  # (B, G, 3, w)
+    d2 = jnp.sum(d * d, axis=2)  # (B, G, w)
+    live = (
+        (win_idx[:, None, :] >= 0)
+        & (src[:, :, 3:] > 0)
+        & (d2 <= jnp.float32(radius) ** 2)
+    )
+    d2 = jnp.where(live, d2, big)
+    kk = min(k, w)
+    negd, args = lax.top_k(-d2.reshape(b * GROUP, w), kk)
+    outd = -negd
+    found = outd < big
+    gargs = args.reshape(b, GROUP, kk)
+    outi = jnp.take_along_axis(
+        jnp.broadcast_to(win_idx[:, None, :], (b, GROUP, w)), gargs, axis=2
+    ).reshape(b * GROUP, kk)
+    outi = jnp.where(found, outi, -1)
+    pad = kp - kk
+    outd = jnp.pad(outd, ((0, 0), (0, pad)), constant_values=big)
+    outi = jnp.pad(outi, ((0, 0), (0, pad)), constant_values=-1)
+    if not return_points:
+        return outd, outi, None
+    pts = jnp.take_along_axis(
+        jnp.broadcast_to(wx[:, None, :, :], (b, GROUP, 3, w)),
+        gargs[:, :, None, :],
+        axis=3,
+    ).reshape(b * GROUP, 3, kk)
+    pts = jnp.where(found[:, None, :], pts, 0.0)
+    pts = jnp.pad(pts, ((0, 0), (0, 0), (0, pad)))
+    return outd, outi, pts
 
 
 @partial(
@@ -520,10 +576,6 @@ def fused_pool_search(
         source, source_valid, lut_d, origin_d, dims_d, ud, radius, s_pad
     )
 
-    # Per-group class id: number of class ends <= row (dead rows -> C).
-    ends_arr = jnp.asarray(class_ends, jnp.int32)
-    gcls = jnp.sum(step_rows[:, None] >= ends_arr[None, :], axis=1)
-
     kp = 32 if k <= 32 else round_up(k, 128)
     big = jnp.float32(3e38)
     outd = jnp.full((s_pad, kp), big, jnp.float32)
@@ -541,23 +593,29 @@ def fused_pool_search(
         local = jnp.where(in_class, rows_c - prev_end, n_c)
         win_xyz = pool_xyz[c][local]
         win_idx = pool_idx[c][local]
-        w_blk = jnp.max(
-            jnp.where(in_class, width_lut[rows_c], 0).reshape(
-                b_c // BLOCK_GROUPS, BLOCK_GROUPS
-            ),
-            axis=1,
-        )
-        u_blk = jnp.max(
-            jnp.where(in_class, union_lut[rows_c], 0).reshape(
-                b_c // BLOCK_GROUPS, BLOCK_GROUPS
-            ),
-            axis=1,
-        )
-        res = _run_select(
-            padded[: b_c * GROUP], win_xyz, win_idx, w_blk, u_blk,
-            k=k, n_lanes=w_c, radius=radius, interpret=interpret,
-            return_points=return_points, dyn_rounds=dyn_rounds,
-        )
+        if w_c <= XLA_SELECT_MAX_W:
+            res = _xla_class_select(
+                padded[: b_c * GROUP], win_xyz, win_idx,
+                k=k, kp=kp, radius=radius, return_points=return_points,
+            )
+        else:
+            w_blk = jnp.max(
+                jnp.where(in_class, width_lut[rows_c], 0).reshape(
+                    b_c // BLOCK_GROUPS, BLOCK_GROUPS
+                ),
+                axis=1,
+            )
+            u_blk = jnp.max(
+                jnp.where(in_class, union_lut[rows_c], 0).reshape(
+                    b_c // BLOCK_GROUPS, BLOCK_GROUPS
+                ),
+                axis=1,
+            )
+            res = _run_select(
+                padded[: b_c * GROUP], win_xyz, win_idx, w_blk, u_blk,
+                k=k, n_lanes=w_c, radius=radius, interpret=interpret,
+                return_points=return_points, dyn_rounds=dyn_rounds,
+            )
         sel = jnp.repeat(in_class[:, None], GROUP, axis=1).reshape(b_c * GROUP)[:, None]
         outd = outd.at[: b_c * GROUP].set(jnp.where(sel, res[0], outd[: b_c * GROUP]))
         outi = outi.at[: b_c * GROUP].set(jnp.where(sel, res[1], outi[: b_c * GROUP]))
