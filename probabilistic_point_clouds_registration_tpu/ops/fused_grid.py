@@ -345,6 +345,9 @@ def _small_unions(union: np.ndarray, k: int) -> bool:
 
 def _width_limits(n_lanes: int, max_branches: int = 8) -> list[int]:
     """Ascending lane-width limits for the kernel's predicated branches."""
+    if n_lanes <= 128:
+        # Sub-128 windows still occupy a full 128-lane VPU row; one branch.
+        return [n_lanes]
     nch = n_lanes // 128
     if nch <= max_branches:
         return [128 * c for c in range(1, nch + 1)]

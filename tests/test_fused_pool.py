@@ -174,3 +174,54 @@ def test_pool_registration_matches_grid_engine():
             assert reg._pool is not None, "pooled engine must have engaged"
         finals[impl] = T
     np.testing.assert_allclose(finals["pool"], finals["grid"], atol=1e-5)
+
+
+def test_xla_class_select_matches_kernel():
+    """_xla_class_select must be slot-for-slot identical to _run_select
+    (stable top_k ties toward the lower lane == min-extraction lane order),
+    including distances, indices, and emitted coordinates."""
+    from probabilistic_point_clouds_registration_tpu.ops.fused_grid import (
+        BLOCK_GROUPS,
+        GROUP,
+        _run_select,
+    )
+    from probabilistic_point_clouds_registration_tpu.ops.fused_pool import (
+        _xla_class_select,
+    )
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(11)
+    b, w, k, kp = BLOCK_GROUPS, 16, 8, 32
+    win_xyz = rng.uniform(-1, 1, size=(b, 3, w)).astype(np.float32)
+    win_idx = rng.integers(0, 500, size=(b, w)).astype(np.int32)
+    win_idx[:, -3:] = -1  # dead lanes
+    win_xyz[:, :, -3:] = 1e30
+    # Duplicate some candidates to force exact distance ties.
+    win_xyz[:, :, 5] = win_xyz[:, :, 2]
+    rows = np.repeat(win_xyz.mean(axis=2)[:, None, :], GROUP, axis=1)
+    rows = rows + rng.normal(scale=0.3, size=rows.shape).astype(np.float32)
+    rows4 = np.concatenate(
+        [rows.reshape(b * GROUP, 3), np.ones((b * GROUP, 1), np.float32)],
+        axis=1,
+    )
+    rows4[-2:, 3] = 0.0  # invalid sources
+    radius = 0.9
+
+    got = _xla_class_select(
+        jnp.asarray(rows4), jnp.asarray(win_xyz), jnp.asarray(win_idx),
+        k=k, kp=kp, radius=radius, return_points=True,
+    )
+    w_blk = np.full((1,), w, np.int32)
+    u_blk = np.full((1,), w - 3, np.int32)
+    ref = _run_select(
+        jnp.asarray(rows4), jnp.asarray(win_xyz), jnp.asarray(win_idx),
+        jnp.asarray(w_blk), jnp.asarray(u_blk),
+        k=k, n_lanes=w, radius=radius, interpret=True, return_points=True,
+        dyn_rounds=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(ref[1]))
+    m = np.asarray(ref[1]) >= 0
+    np.testing.assert_array_equal(
+        np.asarray(got[0])[m], np.asarray(ref[0])[m]
+    )
+    np.testing.assert_array_equal(np.asarray(got[2]), np.asarray(ref[2]))
