@@ -281,6 +281,23 @@ def _assemble_prepack(bucket_pts, bucket_idx, nrows, *, capacity: int, n_lanes: 
     return cand_xyz, cand_idx
 
 
+@partial(jax.jit, static_argnames=("capacity", "n_lanes", "prod_d", "prod_e"))
+def _build_prepack_dev(bucket_pts, bucket_idx, base_e, d_cells_e, off_e,
+                       d_cells, *, capacity, n_lanes, prod_d, prod_e):
+    """Device half of the dense prepack as ONE program (same seeds-only
+    scheme as fused_pool._build_pools: the host ships ~KB of cell-id seeds
+    instead of the (UD, 27) neighbor-row table + dense LUT, and the ctor
+    pays one dispatch instead of several)."""
+    from .fused_pool import _neighbor_rows, _scatter_lut
+
+    lut_d = _scatter_lut(d_cells, prod_d=prod_d)
+    nrows = _neighbor_rows(base_e, d_cells_e, off_e, prod_e=prod_e)
+    cand_xyz, cand_idx = _assemble_prepack.__wrapped__(
+        bucket_pts, bucket_idx, nrows, capacity=capacity, n_lanes=n_lanes
+    )
+    return cand_xyz, cand_idx, lut_d
+
+
 def build_prepack(grid_host: dict, device_grid, k: int = 20) -> PrepackedGrid | None:
     """Build the per-pair fused-search state.
 
@@ -289,7 +306,7 @@ def build_prepack(grid_host: dict, device_grid, k: int = 20) -> PrepackedGrid | 
       device_grid: the HashGrid already on device (bucket tensors reused).
       k: expected neighbour count — only tunes the extraction-loop hint.
     """
-    dil = dilate_cells_host(grid_host)
+    dil = dilate_cells_host(grid_host, dense_lut=False)
     if dil is None:
         return None
     capacity = grid_host["capacity"]
@@ -299,10 +316,17 @@ def build_prepack(grid_host: dict, device_grid, k: int = 20) -> PrepackedGrid | 
         round_up(27 * capacity, 128),
         round_up(max(dil["max_union"], 128), 128),
     )
+    e0, e1 = dil["e_dims"]
+    ox, oy, oz = np.meshgrid(
+        *([np.arange(-1, 2, dtype=np.int32)] * 3), indexing="ij"
+    )
+    off_e = (ox + e0 * (oy + e1 * oz)).reshape(27).astype(np.int32)
     dev = jax.device_put(
         {
-            "nrows": dil["nrows"],
-            "lut_d": dil["lut_d"],
+            "base_e": dil["base_e"],
+            "d_cells_e": dil["d_cells_e"],
+            "off_e": off_e,
+            "d_cells": dil["d_cells"],
             "dims_d": dil["dims_d"],
             "origin_d": dil["origin_d"].astype(
                 np.dtype(device_grid.bucket_pts.dtype)
@@ -311,19 +335,24 @@ def build_prepack(grid_host: dict, device_grid, k: int = 20) -> PrepackedGrid | 
             "union_lut": dil["union_lut"],
         }
     )
-    cand_xyz, cand_idx = _assemble_prepack(
+    cand_xyz, cand_idx, lut_d = _build_prepack_dev(
         device_grid.bucket_pts,
         device_grid.bucket_idx,
-        dev["nrows"],
+        dev["base_e"],
+        dev["d_cells_e"],
+        dev["off_e"],
+        dev["d_cells"],
         capacity=capacity,
         n_lanes=n_lanes,
+        prod_d=1 << (max(dil["prod_d"], 2) - 1).bit_length(),
+        prod_e=1 << (max(dil["prod_e"], 2) - 1).bit_length(),
     )
     return PrepackedGrid(
         cand_xyz=cand_xyz,
         cand_idx=cand_idx,
         width_lut=dev["width_lut"],
         union_lut=dev["union_lut"],
-        lut_d=dev["lut_d"],
+        lut_d=lut_d,
         origin_d=dev["origin_d"],
         dims_d=dev["dims_d"],
         n_lanes=n_lanes,
