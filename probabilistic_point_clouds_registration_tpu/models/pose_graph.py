@@ -49,6 +49,14 @@ class PoseGraphConfig(NamedTuple):
     damping: float = 1e-6
     tolerance: float = 1e-10  # relative cost-change stop
     axis_name: Optional[str] = None  # psum axis for sharded edges
+    # Block-Jacobi PCG: precondition each CG solve with the inverted 6x6
+    # diagonal blocks of J^T J + damping*I (the per-pose block reduction of
+    # the Gauss-Newton system). Pure convergence accelerator — any SPD
+    # preconditioner leaves the solution unchanged; on a drifted loop the
+    # same CG budget reaches the GN step's true solution in far fewer
+    # iterations because the damped system's per-pose scale disparity
+    # (odometry chains vs 10x-weighted closures) is normalized away.
+    precondition: bool = True
 
 
 def _exp_quat(w):
@@ -86,37 +94,79 @@ def _edge_residuals(q, t, edges_i, edges_j, rel_q_inv, rel_t, sqrt_w):
     return r * sqrt_w[:, None]
 
 
-def _conjugate_gradient(matvec, b, maxiter: int, rtol: float = 1e-5):
-    """Plain CG with explicit carries (matches scipy-style rtol stopping).
+def _conjugate_gradient(matvec, b, maxiter: int, rtol: float = 1e-5,
+                        precond=None):
+    """(Preconditioned) CG with explicit carries (scipy-style rtol stopping).
 
     Replaces ``jax.scipy.sparse.linalg.cg``: its ``custom_linear_solve``
     wrapper marks the solution varying under shard_map's vma analysis even
     when every operand is replicated, which would force ``check_vma=False``
     on the sharded pose-graph solver. Here the iterate/residual/direction
     carries are ordinary replicated vectors (``matvec`` psums internally),
-    so the static replication proof goes through.
+    so the static replication proof goes through. ``precond`` applies an
+    SPD M^-1 (block-Jacobi here); stopping still tests the TRUE residual
+    norm so preconditioning never loosens the solution.
     """
     tol2 = (rtol * jnp.sqrt(jnp.sum(b * b))) ** 2
+    apply_m = precond if precond is not None else (lambda x: x)
+    z0 = apply_m(b)
 
     def cond(c):
-        _, _, _, rs, i = c
+        _, _, _, _, rs, i = c
         return jnp.logical_and(i < maxiter, rs > tol2)
 
     def body(c):
-        x, r, p, rs, i = c
+        x, r, p, rz, _, i = c
         ap = matvec(p)
-        alpha = rs / jnp.sum(p * ap)
+        alpha = rz / jnp.sum(p * ap)
         x = x + alpha * p
         r = r - alpha * ap
-        rs_new = jnp.sum(r * r)
-        p = r + (rs_new / rs) * p
-        return (x, r, p, rs_new, i + 1)
+        z = apply_m(r)
+        rz_new = jnp.sum(r * z)
+        p = z + (rz_new / rz) * p
+        return (x, r, p, rz_new, jnp.sum(r * r), i + 1)
 
     x0 = jnp.zeros_like(b)
     x, *_ = jax.lax.while_loop(
-        cond, body, (x0, b, b, jnp.sum(b * b), jnp.int32(0))
+        cond, body,
+        (x0, b, z0, jnp.sum(b * z0), jnp.sum(b * b), jnp.int32(0)),
     )
     return x
+
+
+def _block_jacobi_blocks(q, t, edges_i, edges_j, rel_q_inv, rel_t, sqrt_w,
+                         n_poses: int):
+    """Per-pose 6x6 diagonal blocks of J^T J, assembled edge-parallel.
+
+    Each edge residual touches exactly poses (i, j); its (6, 12) Jacobian is
+    taken per edge with ``jacfwd`` through the SAME retraction + residual
+    code the solver linearizes, and the A^T A / B^T B halves scatter-add
+    into the (P, 6, 6) block diagonal — the dense-array analogue of a
+    sparse block reduction (no sparse matrices, XLA-fusable).
+    """
+
+    def one_edge(qi, ti, qj, tj, rqi, rtt, sw):
+        bq = jnp.stack([qi, qj])
+        bt = jnp.stack([ti, tj])
+        ei = jnp.zeros((1,), jnp.int32)
+        ej = jnp.ones((1,), jnp.int32)
+
+        def res(d):
+            q2, t2 = _retract(bq, bt, d)
+            return _edge_residuals(
+                q2, t2, ei, ej, rqi[None], rtt[None], sw[None]
+            )[0]
+
+        jac = jax.jacfwd(res)(jnp.zeros((2, 6), qi.dtype))  # (6, 2, 6)
+        a, b_ = jac[:, 0, :], jac[:, 1, :]
+        return a.T @ a, b_.T @ b_
+
+    ha, hb = jax.vmap(one_edge)(
+        q[edges_i], t[edges_i], q[edges_j], t[edges_j],
+        rel_q_inv, rel_t, sqrt_w,
+    )
+    blocks = jnp.zeros((n_poses, 6, 6), q.dtype)
+    return blocks.at[edges_i].add(ha).at[edges_j].add(hb)
 
 
 @partial(jax.jit, static_argnames=("config",))
@@ -170,7 +220,22 @@ def optimize_pose_graph_qt(
             return psum(jtjv) + config.damping * v
 
         g = psum(vjp(r0)[0])  # J^T r
-        delta = _conjugate_gradient(hvp, -g, config.cg_iterations)
+        precond = None
+        if config.precondition:
+            blocks = psum(
+                _block_jacobi_blocks(
+                    q, t, edges_i, edges_j, rel_q_inv, rel_t_term, sqrt_w,
+                    n_poses,
+                )
+            ) + config.damping * jnp.eye(6, dtype=q.dtype)[None]
+            m_inv = jnp.linalg.inv(blocks)  # (P, 6, 6), SPD by construction
+
+            def precond(r):
+                return jnp.einsum("pij,pj->pi", m_inv, r)
+
+        delta = _conjugate_gradient(
+            hvp, -g, config.cg_iterations, precond=precond
+        )
         q_new, t_new = _retract(q, t, gauge(delta))
         q_new = jax.vmap(quat_normalize)(q_new)
         new_cost = total_cost(q_new, t_new)
