@@ -1,0 +1,136 @@
+"""Randomized cross-engine parity: brute vs grid vs pooled (interpret).
+
+The fixed-seed parity tests pin a handful of geometries; this sweep varies
+density, skew, k, and radius so every class-structure path (wide Pallas
+classes, narrow XLA top_k classes, dead windows, budget prefixes) gets hit
+across many layouts. Slot-for-slot equality is required — all engines share
+one selection semantics: k smallest exact gathered distances within radius,
+ties by (neighbor-offset, slot) enumeration order.
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from probabilistic_point_clouds_registration_tpu.core.types import (
+    pad_cloud,
+    round_up,
+    valid_mask,
+)
+from probabilistic_point_clouds_registration_tpu.ops.fused_pool import (
+    build_pool_prepack,
+    fused_pool_search,
+)
+from probabilistic_point_clouds_registration_tpu.ops.grid import (
+    build_grid,
+    build_grid_host,
+    grid_search,
+)
+from probabilistic_point_clouds_registration_tpu.ops.neighbors import (
+    radius_search,
+)
+
+
+def _cloud(rng, n, kind):
+    if kind == "uniform":
+        return rng.uniform(0, 12, size=(n, 3)).astype(np.float32)
+    if kind == "sheet":
+        p = rng.uniform(0, 20, size=(n, 3))
+        p[:, 2] = rng.normal(scale=0.3, size=n)
+        return p.astype(np.float32)
+    # "skewed": sheet + a dense blob (hot cells + wide classes)
+    p = rng.uniform(0, 16, size=(n, 3))
+    p[:, 2] = rng.normal(scale=0.4, size=n)
+    hot = n // 6
+    p[:hot] = rng.normal(scale=0.2, size=(hot, 3)) + 8.0
+    return p.astype(np.float32)
+
+
+@pytest.mark.parametrize("seed,kind,k,radius", [
+    (0, "uniform", 5, 0.8),
+    (1, "uniform", 20, 1.2),
+    (2, "sheet", 1, 0.5),
+    (3, "sheet", 10, 0.9),
+    (4, "skewed", 5, 0.5),
+    (5, "skewed", 20, 0.7),
+    (6, "skewed", 3, 1.5),
+    (7, "uniform", 7, 0.4),
+])
+def test_engines_agree(seed, kind, k, radius):
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(900, 1800))
+    tgt = _cloud(rng, n, kind)
+    src = (tgt[rng.permutation(n)] + rng.normal(
+        scale=0.05, size=(n, 3)).astype(np.float32))
+
+    src_p, n_src = pad_cloud(src, 128, pad_value=0.0)
+    tgt_p, n_tgt = pad_cloud(tgt, 128, pad_value=0.0)
+    sv = valid_mask(src_p.shape[0], n_src)
+    tv = valid_mask(tgt_p.shape[0], n_tgt)
+
+    brute = radius_search(
+        jnp.asarray(src_p, jnp.float32), jnp.asarray(tgt_p, jnp.float32),
+        k=k, radius=radius, source_valid=sv, target_valid=tv,
+    )
+    gh = build_grid_host(tgt_p, radius, num_valid=n_tgt, max_overflow=512)
+    engines = {}
+    if gh is not None and build_grid(
+        tgt_p, radius, num_valid=n_tgt, max_overflow=512
+    ) is not None:
+        grid = build_grid(tgt_p, radius, num_valid=n_tgt, max_overflow=512)
+        grid = grid._replace(
+            bucket_pts=jnp.asarray(grid.bucket_pts, jnp.float32),
+            origin=jnp.asarray(grid.origin, jnp.float32),
+            overflow_pts=None if grid.overflow_pts is None
+            else jnp.asarray(grid.overflow_pts, jnp.float32),
+        )
+        engines["grid"] = grid_search(
+            grid, jnp.asarray(src_p, jnp.float32), k=k, radius=radius,
+            source_valid=sv,
+        )
+        pre = build_pool_prepack(gh, tgt_p, k=k)
+        if pre is not None:
+            budget = round_up(max(pre.budget_rows, 2 * src_p.shape[0]), 128)
+            corr, overflow = fused_pool_search(
+                jnp.asarray(src_p, jnp.float32), sv,
+                pre.pool_xyz, pre.pool_idx, pre.width_lut, pre.union_lut,
+                pre.lut_d, pre.origin_d, pre.dims_d, k=k, radius=radius,
+                class_widths=pre.class_widths, class_ends=pre.class_ends,
+                class_budgets=pre.class_budgets, budget_rows=budget,
+                interpret=True, dyn_rounds=pre.small_unions,
+            )
+            if int(overflow) == 0:
+                engines["pool"] = corr
+
+    assert engines, "grid engine must engage on these fixtures"
+    # Grid-family engines (grid, pool) share the (neighbor-offset, slot)
+    # tie order and must agree slot-for-slot. The brute engine differs in
+    # two documented ways (ops/neighbors.py): ties break by target-row
+    # order, and its SELECTION runs on the centered f32 matmul expansion,
+    # whose k-th-boundary picks can differ within an eps*extent^2 error
+    # band even though reported distances are exactly recomputed. A brute
+    # index mismatch is therefore legal only when the two slots' exact
+    # distances agree within that band.
+    bm = np.asarray(brute.mask)[:n_src]
+    bi = np.asarray(brute.indices)[:n_src]
+    bd = np.asarray(brute.sq_dists)[:n_src].astype(np.float32)
+    for name, corr in engines.items():
+        m = np.asarray(corr.mask)[:n_src]
+        np.testing.assert_array_equal(m, bm, err_msg=name)
+        ci = np.asarray(corr.indices)[:n_src]
+        cd = np.asarray(corr.sq_dists)[:n_src].astype(np.float32)
+        diff = m & (ci != bi)
+        band = 1e-4 * radius * radius
+        assert np.all(np.abs(cd[diff] - bd[diff]) <= band), (
+            f"{name}: k-th-slot pick differs beyond the expansion band: "
+            f"{np.abs(cd[diff] - bd[diff]).max()}"
+        )
+    if "grid" in engines and "pool" in engines:
+        g, p = engines["grid"], engines["pool"]
+        np.testing.assert_array_equal(
+            np.asarray(p.mask)[:n_src], np.asarray(g.mask)[:n_src]
+        )
+        gm = np.asarray(g.mask)[:n_src]
+        np.testing.assert_array_equal(
+            np.asarray(p.indices)[:n_src][gm],
+            np.asarray(g.indices)[:n_src][gm],
+        )
