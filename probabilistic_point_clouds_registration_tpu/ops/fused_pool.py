@@ -128,7 +128,12 @@ def _plan_classes(union: np.ndarray) -> tuple[list[int], list[int]]:
     """
     ud = union.shape[0]
     w = (np.ceil(np.maximum(union, 1) / 128.0) * 128).astype(np.int64)
-    l_max = int(w[0]) if ud else 128
+    # Pow2 top width: a data-exact max (e.g. 1408) would change the static
+    # class-width tuple between consecutive scans of a sequence and
+    # recompile every per-pair program; the few widest windows pay <=2x
+    # gather lanes (extraction stays at real width via the per-block
+    # predication).
+    l_max = 1 << (int(w[0]) - 1).bit_length() if ud else 128
     widths = [l_max]
     if l_max > 512:
         widths.append(512)
@@ -152,12 +157,25 @@ def _plan_classes(union: np.ndarray) -> tuple[list[int], list[int]]:
     return widths_out, ends_out
 
 
-def _scatter_lut(d_cells, *, prod_d: int):
-    ud = d_cells.shape[0]
+def _bucket_rows(n: int, floor: int = 64) -> int:
+    """Round ``n`` up at ~12.5% granularity (pow2/8 steps, >= ``floor``).
+
+    Static shapes derived from bucketed sizes repeat across scans of
+    similar geometry, so per-pair jit programs are compiled once per
+    sequence instead of once per pair.
+    """
+    n = max(int(n), floor)
+    q = max(floor, 1 << max(n.bit_length() - 4, 0))
+    return round_up(n, q)
+
+
+def _scatter_lut(d_cells, row_vals, *, prod_d: int):
+    """Dense extended-grid cell -> PADDED window row; pad entries carry
+    out-of-range cell ids and are dropped."""
     return (
         jnp.full((prod_d,), -1, jnp.int32)
         .at[d_cells]
-        .set(jnp.arange(ud, dtype=jnp.int32))
+        .set(row_vals, mode="drop")
     )
 
 
@@ -178,25 +196,34 @@ def _neighbor_rows(base_e, d_cells_e, off_e, *, prod_e: int):
     occ = (
         jnp.full((prod_e,), -1, jnp.int32)
         .at[base_e]
-        .set(jnp.arange(u, dtype=jnp.int32))
+        .set(jnp.arange(u, dtype=jnp.int32), mode="drop")
     )
     return occ[d_cells_e[:, None] + off_e[None, :]]
 
 
 @partial(jax.jit, static_argnames=("plan_key",))
 def _build_pools(packed, cell_start, cell_count, base_e, d_cells_e, off_e,
-                 d_cells, *, plan_key):
+                 d_cells, row_vals, *, plan_key):
     """The whole device half of the pool prepack as ONE program.
 
     ``plan_key`` is the static pool geometry from :func:`plan_pool_host`:
-    (pow2 class widths, class ends, pow2-padded prod_d, pow2-padded prod_e,
-    dtype name). Returns (pool_xyz tuple, pool_idx tuple, lut_d).
+    (pow2 class widths, bucket-padded class ends, pow2-padded prod_d /
+    prod_e, dtype name) — every element bucketed so consecutive scans of
+    similar geometry reuse this compile. Windows live in the PADDED
+    numbering (``row_vals``); class tails are dead rows. Returns
+    (pool_xyz tuple, pool_idx tuple, lut_d).
     """
     widths, ends, prod_d, prod_e, dtype_name = plan_key
     dtype = jnp.dtype(dtype_name)
-    lut_d = _scatter_lut(d_cells, prod_d=prod_d)
-    nrows_dev = _neighbor_rows(
+    ud_pad = ends[-1] if ends else 0
+    lut_d = _scatter_lut(d_cells, row_vals, prod_d=prod_d)
+    nrows_real = _neighbor_rows(
         base_e, d_cells_e, off_e, prod_e=prod_e
+    )
+    nrows_dev = (
+        jnp.full((ud_pad, 27), -1, jnp.int32)
+        .at[row_vals]
+        .set(nrows_real, mode="drop")
     )
     pool_xyz, pool_idx = [], []
     prev = 0
@@ -349,18 +376,45 @@ def plan_pool_host(grid_host: dict, target: np.ndarray) -> dict | None:
             s0 = s1
         prev = e_c
     widths, ends = widths2, ends2
-    pool_bytes = sum(
-        (e - (ends[c - 1] if c else 0) + 1) * w * 16
-        for c, (w, e) in enumerate(zip(widths, ends))
-    )
+
+    # ---- Sequence compile stability: bucket EVERY static dimension ----
+    # Data-exact shapes (class row counts, window/cell/point counts, group
+    # budgets) differ between consecutive scans and would recompile every
+    # per-pair program (seconds each on a remote-compile tunnel). Class
+    # sizes round up geometrically (~12.5% granularity) into a PADDED
+    # window numbering with dead rows at each class tail; upload arrays pad
+    # to the same buckets with dropped-scatter sentinels. Similar scans then
+    # share the full static key and reuse compiled programs.
+    ud = int(union.shape[0])
+    sizes = np.diff([0] + ends).tolist()
+    # Width-aware class-size floors: small classes (hot-spot tails) vary a
+    # lot between scans, and padding them is cheap — floor each class at
+    # ~1 MB of pool rows so the count noise disappears into the pad.
+    pad_sizes = [
+        _bucket_rows(s, max(64, (1 << 20) // (16 * w)))
+        for s, w in zip(sizes, widths)
+    ]
+    ends_pad = np.cumsum(pad_sizes).tolist()
+    ud_pad = int(ends_pad[-1]) if ends_pad else 0
+    pool_bytes = sum((p + 1) * w * 16 for p, w in zip(pad_sizes, widths))
     if pool_bytes > MAX_POOL_BYTES:
         return None
+    # Padded row id of each real window (class offset + padded class start).
+    row_vals = np.empty((ud,), np.int32)
+    prev = 0
+    for e_c, p_start in zip(ends, [0] + ends_pad[:-1]):
+        row_vals[prev:e_c] = p_start + np.arange(e_c - prev, dtype=np.int32)
+        prev = e_c
+    width_lut_pad = np.zeros((ud_pad + 1,), np.int32)
+    width_lut_pad[row_vals] = dil["width_lut"][:ud]
+    union_lut_pad = np.zeros((ud_pad + 1,), np.int32)
+    union_lut_pad[row_vals] = dil["union_lut"][:ud]
 
     # Row budget: target occupancy predicts source grouping for overlapping
     # scans; 1.6x margin + the runtime overflow flag covers drift.
     est_rows = int((np.ceil(counts_full / GROUP) * GROUP).sum())
     budget_rows = round_up(
-        max(int(1.6 * est_rows), n), BLOCK_GROUPS * GROUP
+        _bucket_rows(max(int(1.6 * est_rows), n)), BLOCK_GROUPS * GROUP
     )
     ng = budget_rows // GROUP
 
@@ -381,7 +435,13 @@ def plan_pool_host(grid_host: dict, target: np.ndarray) -> dict | None:
         if c == len(ends) - 1:
             budgets.append(ng)
         else:
-            b = round_up(2 * cum_groups + 4 * BLOCK_GROUPS, BLOCK_GROUPS)
+            # Floor at 1024 groups: prefix blocks beyond the real groups
+            # are width-0 and skipped by the kernel, so the floor swallows
+            # scan-to-scan budget noise at ~zero cost.
+            b = round_up(
+                _bucket_rows(2 * cum_groups + 4 * BLOCK_GROUPS, 1024),
+                BLOCK_GROUPS,
+            )
             budgets.append(min(ng, b))
 
     e0, e1 = dil["e_dims"]
@@ -390,16 +450,49 @@ def plan_pool_host(grid_host: dict, target: np.ndarray) -> dict | None:
     )
     off_e = (ox + e0 * (oy + e1 * oz)).reshape(27).astype(np.int32)
 
+    # Bucket-padded upload arrays. Sentinels: indices one past the pow2
+    # scatter-table sizes (dropped by mode="drop"), dead packed rows, and
+    # row_vals = ud_pad (dropped when scattering the padded numbering).
+    prod_e_pad = 1 << (max(dil["prod_e"], 2) - 1).bit_length()
+    prod_d_pad = 1 << (max(dil["prod_d"], 2) - 1).bit_length()
+    u = int(dil["base_e"].shape[0])
+    u_pad = _bucket_rows(u)
+    n_pad = _bucket_rows(n + 1)
+    packed_pad = np.empty((n_pad + 1, 4), np.float32)
+    packed_pad[: n + 1] = packed
+    packed_pad[n + 1 :, :3] = _BIG
+    packed_pad[n + 1 :, 3] = np.int32(-1).view(np.float32)
+    ud_b = _bucket_rows(ud)
+
+    def pad1(a, length, value):
+        out = np.full((length,), value, a.dtype)
+        out[: a.shape[0]] = a
+        return out
+
     return {
         "dil": dil,
         "widths": widths,
-        "ends": ends,
-        "packed": packed,
+        "ends": ends_pad,
+        "sizes_real": sizes,
+        "packed": packed_pad,
+        "row_vals": pad1(row_vals, ud_b, ud_pad),
+        "d_cells": pad1(dil["d_cells"].astype(np.int32), ud_b, prod_d_pad),
+        "d_cells_e": pad1(dil["d_cells_e"].astype(np.int32), ud_b, 0),
+        "base_e": pad1(dil["base_e"].astype(np.int32), u_pad, prod_e_pad),
+        "cell_start": pad1(
+            grid_host["cell_start"].astype(np.int32), u_pad, n
+        ),
+        "cell_count": pad1(
+            grid_host["cell_count"].astype(np.int32), u_pad, 0
+        ),
+        "width_lut": width_lut_pad,
+        "union_lut": union_lut_pad,
+        "ud_pad": ud_pad,
+        "prod_d_pad": prod_d_pad,
+        "prod_e_pad": prod_e_pad,
         "budgets": budgets,
         "budget_rows": budget_rows,
         "off_e": off_e,
-        "cell_start": grid_host["cell_start"],
-        "cell_count": grid_host["cell_count"],
         "cell_size": grid_host["cell_size"],
     }
 
@@ -428,14 +521,15 @@ def build_pool_prepack(
             "packed": plan["packed"],
             "cell_start": plan["cell_start"],
             "cell_count": plan["cell_count"],
-            "base_e": dil["base_e"],
-            "d_cells_e": dil["d_cells_e"],
+            "base_e": plan["base_e"],
+            "d_cells_e": plan["d_cells_e"],
             "off_e": plan["off_e"],
-            "d_cells": dil["d_cells"],
+            "d_cells": plan["d_cells"],
+            "row_vals": plan["row_vals"],
             "dims_d": dil["dims_d"],
             "origin_d": dil["origin_d"].astype(dtype),
-            "width_lut": dil["width_lut"],
-            "union_lut": dil["union_lut"],
+            "width_lut": plan["width_lut"],
+            "union_lut": plan["union_lut"],
         }
     )
     # One fused device program builds everything: the dense extended-grid
@@ -444,15 +538,14 @@ def build_pool_prepack(
     # shipped vs ~1 MB of seeds), and every width-class pool. Fusing the
     # ~30 constituent ops into one jit matters on the tunnel: each dispatch
     # costs ~25 ms of RPC latency, which dominated the warm ctor (~0.8 s of
-    # pure dispatch). Scatter-table sizes are pow2-padded so per-pair grid
-    # extents don't recompile; the sub-chunk split (static) still keys the
-    # compile — one compile per pool GEOMETRY, reused across a sequence
-    # only when plan_pool_host's bucketing repeats.
+    # pure dispatch). Every static in the plan key AND every upload shape
+    # is bucketed (plan_pool_host), so scans of similar geometry reuse this
+    # compile across a whole sequence.
     plan_key = (
         tuple(widths),
         tuple(ends),
-        1 << (max(dil["prod_d"], 2) - 1).bit_length(),
-        1 << (max(dil["prod_e"], 2) - 1).bit_length(),
+        plan["prod_d_pad"],
+        plan["prod_e_pad"],
         np.dtype(dtype).name,
     )
     pool_xyz, pool_idx, lut_d = _build_pools(
@@ -463,6 +556,7 @@ def build_pool_prepack(
         dev["d_cells_e"],
         dev["off_e"],
         dev["d_cells"],
+        dev["row_vals"],
         plan_key=plan_key,
     )
 
@@ -474,6 +568,8 @@ def build_pool_prepack(
         class_budgets=tuple(plan["budgets"]),
         width_lut=dev["width_lut"],
         union_lut=dev["union_lut"],
+        # NOTE: width_lut/union_lut/lut_d/pools live in the bucket-PADDED
+        # window numbering (plan_pool_host); dead rows have width 0.
         lut_d=lut_d,
         origin_d=dev["origin_d"],
         dims_d=dev["dims_d"],

@@ -225,3 +225,34 @@ def test_xla_class_select_matches_kernel():
         np.asarray(got[0])[m], np.asarray(ref[0])[m]
     )
     np.testing.assert_array_equal(np.asarray(got[2]), np.asarray(ref[2]))
+
+
+def test_pool_compile_stability_across_scans():
+    """Two different scans of similar geometry must share every static key:
+    same plan_key for _build_pools and same (class_widths, ends, budgets,
+    budget_rows) for the search — the bucketing that keeps a sequence from
+    recompiling per pair (remote compiles cost seconds each)."""
+    from probabilistic_point_clouds_registration_tpu.ops import fused_pool as fp
+
+    keys = []
+    for seed in (21, 22):
+        rng = np.random.default_rng(seed)
+        n = 4000 + int(rng.integers(0, 120))  # scan-to-scan count jitter
+        tgt = rng.uniform(0, 30, size=(n, 3))
+        tgt[:, 2] = rng.normal(scale=0.4, size=n)
+        tgt = tgt.astype(np.float32)
+        tgt_p, n_tgt = pad_cloud(tgt, 1024, pad_value=0.0)
+        gh = build_grid_host(tgt_p, 0.5, num_valid=n_tgt, max_overflow=64)
+        plan = fp.plan_pool_host(gh, tgt_p)
+        assert plan is not None
+        keys.append((
+            tuple(plan["widths"]), tuple(plan["ends"]),
+            tuple(plan["budgets"]), plan["budget_rows"],
+            plan["prod_d_pad"], plan["prod_e_pad"],
+            plan["packed"].shape, plan["base_e"].shape,
+            plan["d_cells"].shape,
+        ))
+    assert keys[0] == keys[1], (
+        "bucketing failed to stabilize the static geometry:\n"
+        f"{keys[0]}\nvs\n{keys[1]}"
+    )
