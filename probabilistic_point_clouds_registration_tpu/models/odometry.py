@@ -170,7 +170,8 @@ def run_odometry(
             prep_future = None
             if prev_scan is not None:
                 prep_future = prep_pool.submit(
-                    ProbabilisticRegistration.prepare_target, prev_scan, params
+                    ProbabilisticRegistration.prepare_target, prev_scan,
+                    params, True,
                 )
 
             for i in range(start_pair, n_scans - 1):
@@ -182,7 +183,8 @@ def run_odometry(
                 # before the device work starts.
                 if i + 1 < n_scans - 1:
                     prep_future = prep_pool.submit(
-                        ProbabilisticRegistration.prepare_target, source, params
+                        ProbabilisticRegistration.prepare_target, source,
+                        params, True,
                     )
                 else:
                     prep_future = None

@@ -556,7 +556,11 @@ class ProbabilisticRegistration:
     """
 
     @staticmethod
-    def prepare_target(target_cloud: np.ndarray, params: RegistrationParams) -> dict:
+    def prepare_target(
+        target_cloud: np.ndarray,
+        params: RegistrationParams,
+        device: bool = False,
+    ) -> dict:
         """Host-side target preprocessing: voxel filter + pad + grid build.
 
         Everything here is pure numpy, so sequence pipelines can run it on a
@@ -564,6 +568,13 @@ class ProbabilisticRegistration:
         computes on device (models/odometry.py) — at KITTI scale the grid
         build alone is ~0.5 s of otherwise-serial host time per pair. Pass
         the result to the constructor as ``prepared_target``.
+
+        ``device=True`` additionally stages the pooled engine's DEVICE state
+        (upload + the _build_pools dispatch — JAX dispatch is thread-safe
+        and asynchronous, so a prep thread overlaps the ~0.4 s of upload and
+        RPC latency with the current pair's compute; the device work itself
+        interleaves on the TPU stream). The ctor then consumes the prebuilt
+        PoolPrepack directly.
         """
         target = np.asarray(target_cloud, dtype=np.float64)
         if params.target_filter_size > 0:
@@ -589,13 +600,28 @@ class ProbabilisticRegistration:
                 # (dilation + class planning + packed sort — ~0.5 s at KITTI
                 # scale) so sequence pipelines overlap it with device compute.
                 pool_plan = plan_pool_host(grid, tg)
-        return {
+        prepared = {
             "target_cloud": target,
             "tg": tg,
             "n_tgt": n_tgt,
             "grid": grid,
             "pool_plan": pool_plan,
         }
+        if device and pool_plan is not None:
+            on_tpu = jax.default_backend() == "tpu"
+            if params.search_impl == "pool" or (
+                params.search_impl == "auto" and on_tpu
+            ):
+                from ..ops import fused_pool as _fp
+
+                prepared["pool_prepack"] = _fp.build_pool_prepack(
+                    grid,
+                    tg,
+                    dtype=np.dtype(params.dtype),
+                    plan=pool_plan,
+                    k=params.max_neighbours,
+                )
+        return prepared
 
     def __init__(
         self,
@@ -746,13 +772,15 @@ class ProbabilisticRegistration:
                 # precomputed on the sequence pipeline's target-prep thread.
                 from ..ops import fused_pool as _fp
 
-                pool = _fp.build_pool_prepack(
-                    grid,
-                    prepared_target["tg"],
-                    dtype=np_dtype,
-                    plan=prepared_target.get("pool_plan"),
-                    k=params.max_neighbours,
-                )
+                pool = prepared_target.get("pool_prepack")
+                if pool is None:
+                    pool = _fp.build_pool_prepack(
+                        grid,
+                        prepared_target["tg"],
+                        dtype=np_dtype,
+                        plan=prepared_target.get("pool_plan"),
+                        k=params.max_neighbours,
+                    )
                 if pool is not None:
                     self._pool = pool
                     self._fused_interpret = not on_tpu
