@@ -290,7 +290,11 @@ def _build_prepack_dev(bucket_pts, bucket_idx, base_e, d_cells_e, off_e,
     pays one dispatch instead of several)."""
     from .fused_pool import _neighbor_rows, _scatter_lut
 
-    lut_d = _scatter_lut(d_cells, prod_d=prod_d)
+    lut_d = _scatter_lut(
+        d_cells,
+        jnp.arange(d_cells.shape[0], dtype=jnp.int32),
+        prod_d=prod_d,
+    )
     nrows = _neighbor_rows(base_e, d_cells_e, off_e, prod_e=prod_e)
     cand_xyz, cand_idx = _assemble_prepack.__wrapped__(
         bucket_pts, bucket_idx, nrows, capacity=capacity, n_lanes=n_lanes
