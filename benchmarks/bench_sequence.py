@@ -17,7 +17,7 @@ import time
 
 import numpy as np
 
-from common import emit, synthetic_sequence
+from common import emit, kitti_sequence, synthetic_sequence
 
 
 def main():
@@ -27,6 +27,12 @@ def main():
     ap.add_argument("--calib", default=None)
     ap.add_argument("--n_scans", type=int, default=6, help="synthetic sequence length")
     ap.add_argument("--points", type=int, default=20_000)
+    ap.add_argument(
+        "--kitti_like", action="store_true",
+        help="full-resolution LiDAR-like synthetic sequence (131k points, "
+             "0.5 m radius): steady-state test of the pooled sparse engine "
+             "+ the prep-thread overlap",
+    )
     ap.add_argument(
         "--radius", type=float, default=None,
         help="search radius; defaults to 0.1 for the synthetic fixture and "
@@ -72,17 +78,26 @@ def main():
                 )
             anchor = np.linalg.inv(gt_poses[0])
             gt_poses = [anchor @ p for p in gt_poses]
+    elif args.kitti_like:
+        pts = args.points if args.points != 20_000 else 131_072
+        scans, gt_poses = kitti_sequence(args.n_scans, pts)
+        label = "sequence:kitti_like"
     else:
         scans, gt_poses = synthetic_sequence(args.n_scans, args.points)
         label = "sequence:synthetic"
 
-    radius = args.radius if args.radius is not None else (3.0 if args.scans else 0.1)
+    radius = args.radius if args.radius is not None else (
+        3.0 if args.scans else (0.5 if args.kitti_like else 0.1)
+    )
     params = RegistrationParams(
         max_neighbours=20,
         radius=radius,
         n_iter=12,
         cost_drop_thresh=0.005,
         dtype="float32",
+        pad_multiple=4096 if args.kitti_like else 256,
+        outer_chunk=12 if args.kitti_like else 4,
+        max_inner_iterations=50,
     )
     t0 = time.perf_counter()
     result = run_odometry(scans, params)
