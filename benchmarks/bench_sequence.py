@@ -26,7 +26,7 @@ def main():
     ap.add_argument("--ground_truth", default=None)
     ap.add_argument("--calib", default=None)
     ap.add_argument("--n_scans", type=int, default=6, help="synthetic sequence length")
-    ap.add_argument("--points", type=int, default=20_000)
+    ap.add_argument("--points", type=int, default=None)
     ap.add_argument(
         "--kitti_like", action="store_true",
         help="full-resolution LiDAR-like synthetic sequence (131k points, "
@@ -79,11 +79,10 @@ def main():
             anchor = np.linalg.inv(gt_poses[0])
             gt_poses = [anchor @ p for p in gt_poses]
     elif args.kitti_like:
-        pts = args.points if args.points != 20_000 else 131_072
-        scans, gt_poses = kitti_sequence(args.n_scans, pts)
+        scans, gt_poses = kitti_sequence(args.n_scans, args.points or 131_072)
         label = "sequence:kitti_like"
     else:
-        scans, gt_poses = synthetic_sequence(args.n_scans, args.points)
+        scans, gt_poses = synthetic_sequence(args.n_scans, args.points or 20_000)
         label = "sequence:synthetic"
 
     radius = args.radius if args.radius is not None else (
@@ -97,7 +96,7 @@ def main():
         dtype="float32",
         pad_multiple=4096 if args.kitti_like else 256,
         outer_chunk=12 if args.kitti_like else 4,
-        max_inner_iterations=50,
+        max_inner_iterations=50 if args.kitti_like else 100,
     )
     t0 = time.perf_counter()
     result = run_odometry(scans, params)

@@ -40,56 +40,44 @@ def time_align(reg) -> float:
     return time.perf_counter() - t0
 
 
+def _sequence_from_world(world, theta, translation, n_scans):
+    """Scans of a static world from a sensor moving by a fixed SE(3) step."""
+    rot = np.array(
+        [
+            [np.cos(theta), -np.sin(theta), 0.0],
+            [np.sin(theta), np.cos(theta), 0.0],
+            [0.0, 0.0, 1.0],
+        ]
+    )
+    delta = np.eye(4)
+    delta[:3, :3] = rot
+    delta[:3, 3] = translation
+    pose = np.eye(4)
+    scans, poses = [], []
+    for _ in range(n_scans):
+        inv = np.linalg.inv(pose)
+        scans.append(world @ inv[:3, :3].T + inv[:3, 3])
+        poses.append(pose.copy())
+        pose = pose @ delta
+    return scans, poses
+
+
 def synthetic_sequence(n_scans: int, n_points: int = 20_000, seed: int = 0):
     """Scans of a bunny-like world seen from an incrementally moving sensor."""
     from probabilistic_point_clouds_registration_tpu.io.synthetic import bunny_like
 
-    world = bunny_like(n_points, seed=seed)
-    theta = 0.015
-    rot = np.array(
-        [
-            [np.cos(theta), -np.sin(theta), 0.0],
-            [np.sin(theta), np.cos(theta), 0.0],
-            [0.0, 0.0, 1.0],
-        ]
+    return _sequence_from_world(
+        bunny_like(n_points, seed=seed), 0.015, [0.015, -0.01, 0.005], n_scans
     )
-    delta = np.eye(4)
-    delta[:3, :3] = rot
-    delta[:3, 3] = [0.015, -0.01, 0.005]
-    pose = np.eye(4)
-    scans, poses = [], []
-    for _ in range(n_scans):
-        inv = np.linalg.inv(pose)
-        scans.append(world @ inv[:3, :3].T + inv[:3, 3])
-        poses.append(pose.copy())
-        pose = pose @ delta
-    return scans, poses
 
 
 def kitti_sequence(n_scans: int, n_points: int = 131_072, seed: int = 0):
-    """LiDAR-like scan sequence: a kitti_like world resampled per scan from
-    an incrementally moving sensor (~1 m / 0.01 rad per step — highway-speed
-    KITTI ego-motion at 10 Hz). Exercises the pooled sparse engine and the
-    sequence pipeline's prep-thread overlap at full resolution."""
+    """LiDAR-like scan sequence: a kitti_like world seen from a sensor
+    moving ~0.8 m / 0.01 rad per step (KITTI-ish ego-motion at 10 Hz).
+    Exercises the pooled sparse engine and the sequence pipeline's
+    prep-thread overlap at full resolution."""
     from probabilistic_point_clouds_registration_tpu.io.synthetic import kitti_like
 
-    world = kitti_like(n_points, seed=seed)
-    theta = 0.01
-    rot = np.array(
-        [
-            [np.cos(theta), -np.sin(theta), 0.0],
-            [np.sin(theta), np.cos(theta), 0.0],
-            [0.0, 0.0, 1.0],
-        ]
+    return _sequence_from_world(
+        kitti_like(n_points, seed=seed), 0.01, [0.8, 0.1, 0.02], n_scans
     )
-    delta = np.eye(4)
-    delta[:3, :3] = rot
-    delta[:3, 3] = [0.8, 0.1, 0.02]
-    pose = np.eye(4)
-    scans, poses = [], []
-    for _ in range(n_scans):
-        inv = np.linalg.inv(pose)
-        scans.append(world @ inv[:3, :3].T + inv[:3, 3])
-        poses.append(pose.copy())
-        pose = pose @ delta
-    return scans, poses

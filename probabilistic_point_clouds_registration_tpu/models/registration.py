@@ -579,6 +579,15 @@ class ProbabilisticRegistration:
         target = np.asarray(target_cloud, dtype=np.float64)
         if params.target_filter_size > 0:
             target = voxel_downsample(target, params.target_filter_size)
+        if device:
+            # The device-staging path may jit _build_pools before any
+            # ProbabilisticRegistration exists; the persistent cache must be
+            # configured BEFORE that first compile or it is bypassed.
+            from ..utils.compile_cache import (
+                enable_persistent_compilation_cache,
+            )
+
+            enable_persistent_compilation_cache()
         from ..ops.grid import build_grid_host
 
         tg, n_tgt = pad_cloud(target, params.pad_multiple, pad_value=0.0)

@@ -214,6 +214,10 @@ def dilate_cells_host(
         out["base_e"] = base_e
         out["prod_e"] = prod_e
         out["e_dims"] = (e0, e1)
+        # The 27 linear neighbor offsets in the double-extended grid —
+        # the enumeration IS the engines' shared tie-break contract, so
+        # consumers must use this array, not rebuild it.
+        out["off_e"] = off_e.astype(np.int32)
     return out
 
 
@@ -320,16 +324,11 @@ def build_prepack(grid_host: dict, device_grid, k: int = 20) -> PrepackedGrid | 
         round_up(27 * capacity, 128),
         round_up(max(dil["max_union"], 128), 128),
     )
-    e0, e1 = dil["e_dims"]
-    ox, oy, oz = np.meshgrid(
-        *([np.arange(-1, 2, dtype=np.int32)] * 3), indexing="ij"
-    )
-    off_e = (ox + e0 * (oy + e1 * oz)).reshape(27).astype(np.int32)
     dev = jax.device_put(
         {
             "base_e": dil["base_e"],
             "d_cells_e": dil["d_cells_e"],
-            "off_e": off_e,
+            "off_e": dil["off_e"],
             "d_cells": dil["d_cells"],
             "dims_d": dil["dims_d"],
             "origin_d": dil["origin_d"].astype(

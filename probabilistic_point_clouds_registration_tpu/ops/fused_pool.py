@@ -444,11 +444,7 @@ def plan_pool_host(grid_host: dict, target: np.ndarray) -> dict | None:
             )
             budgets.append(min(ng, b))
 
-    e0, e1 = dil["e_dims"]
-    ox, oy, oz = np.meshgrid(
-        *([np.arange(-1, 2, dtype=np.int32)] * 3), indexing="ij"
-    )
-    off_e = (ox + e0 * (oy + e1 * oz)).reshape(27).astype(np.int32)
+    off_e = dil["off_e"]
 
     # Bucket-padded upload arrays. Sentinels: indices one past the pow2
     # scatter-table sizes (dropped by mode="drop"), dead packed rows, and
@@ -576,7 +572,14 @@ def build_pool_prepack(
         budget_rows=plan["budget_rows"],
         n_dilated=dil["n_dilated"],
         cell_size=plan["cell_size"],
-        small_unions=_small_unions(dil["union"], k),
+        # Only windows in kernel classes (w > XLA_SELECT_MAX_W) ever run
+        # the extraction loop; the counted-loop hint must ignore the
+        # narrow unions the XLA top_k classes absorbed, else it enables
+        # the ~15%/round loop overhead exactly where no round can be
+        # saved (all kernel-class unions exceed k for k <= 64).
+        small_unions=_small_unions(
+            dil["union"][dil["union"] > XLA_SELECT_MAX_W], k
+        ),
     )
 
 

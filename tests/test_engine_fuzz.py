@@ -73,10 +73,12 @@ def test_engines_agree(seed, kind, k, radius):
     )
     gh = build_grid_host(tgt_p, radius, num_valid=n_tgt, max_overflow=512)
     engines = {}
-    if gh is not None and build_grid(
-        tgt_p, radius, num_valid=n_tgt, max_overflow=512
-    ) is not None:
-        grid = build_grid(tgt_p, radius, num_valid=n_tgt, max_overflow=512)
+    grid = (
+        build_grid(tgt_p, radius, num_valid=n_tgt, max_overflow=512)
+        if gh is not None
+        else None
+    )
+    if grid is not None:
         grid = grid._replace(
             bucket_pts=jnp.asarray(grid.bucket_pts, jnp.float32),
             origin=jnp.asarray(grid.origin, jnp.float32),
