@@ -137,3 +137,25 @@ def test_empty_association_stays_identity():
     t = reg.align()
     np.testing.assert_array_equal(t, np.eye(4))
     assert all(np.isfinite(r.final_cost) for r in reg.records)
+
+
+def test_trace_inner_diagnostics(capsys):
+    """trace_inner + verbose must stream per-LM-iteration rows (cost, step
+    quality, trust radius, accept/reject) — the Ceres FullReport parity
+    surface (src/prob_point_cloud_registration.cc:108)."""
+    import re
+
+    rng = np.random.default_rng(3)
+    tgt = rng.uniform(0, 4, size=(400, 3)).astype(np.float32)
+    src = tgt + np.array([0.05, -0.03, 0.02], dtype=np.float32)
+    p = RegistrationParams(
+        max_neighbours=5, radius=0.6, n_iter=2, cost_drop_thresh=-1.0,
+        dof=5.0, dtype="float32", verbose=True, trace_inner=True,
+    )
+    register_pair(src, tgt, p)
+    out = capsys.readouterr().out
+    rows = re.findall(
+        r"lm_iter \d+: cost=\S+ step_quality=\S+ trust_radius=\S+ "
+        r"(?:accepted|rejected)", out
+    )
+    assert len(rows) >= 2, out[-2000:]
