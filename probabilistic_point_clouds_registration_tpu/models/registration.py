@@ -758,7 +758,10 @@ class ProbabilisticRegistration:
 
             counts = (grid["bucket_idx"] >= 0).sum(axis=1)
             est_rows = int(np.ceil(counts / _fg.GROUP).sum()) * _fg.GROUP
-            dense_fit = est_rows <= 1.7 * fs.shape[0]
+            # Same denominator as prepare_target's pool gate (the padded
+            # TARGET count — the estimate derives from target occupancy),
+            # so the prep thread and the ctor always agree on the engine.
+            dense_fit = est_rows <= 1.7 * self._target_dev.shape[0]
             if params.search_impl == "fused" or (
                 params.search_impl == "auto" and on_tpu and dense_fit
             ):

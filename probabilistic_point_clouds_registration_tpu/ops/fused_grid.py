@@ -52,6 +52,12 @@ BLOCK_GROUPS = 16
 _BIG = np.float32(1e30)
 
 
+def _pow2(n: int) -> int:
+    """Smallest power of two >= n (>= 2): stabilizes data-dependent static
+    sizes (scatter tables, class widths) across scans of a sequence."""
+    return 1 << (max(int(n), 2) - 1).bit_length()
+
+
 class PrepackedGrid(NamedTuple):
     """Per-pair fused-search state (device arrays unless noted).
 
@@ -347,8 +353,8 @@ def build_prepack(grid_host: dict, device_grid, k: int = 20) -> PrepackedGrid | 
         dev["d_cells"],
         capacity=capacity,
         n_lanes=n_lanes,
-        prod_d=1 << (max(dil["prod_d"], 2) - 1).bit_length(),
-        prod_e=1 << (max(dil["prod_e"], 2) - 1).bit_length(),
+        prod_d=_pow2(dil["prod_d"]),
+        prod_e=_pow2(dil["prod_e"]),
     )
     return PrepackedGrid(
         cand_xyz=cand_xyz,

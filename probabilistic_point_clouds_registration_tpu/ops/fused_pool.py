@@ -55,6 +55,7 @@ from .fused_grid import (
     BLOCK_GROUPS,
     GROUP,
     _BIG,
+    _pow2,
     _group_by_window,
     _run_select,
     _small_unions,
@@ -133,7 +134,7 @@ def _plan_classes(union: np.ndarray) -> tuple[list[int], list[int]]:
     # recompile every per-pair program; the few widest windows pay <=2x
     # gather lanes (extraction stays at real width via the per-block
     # predication).
-    l_max = 1 << (int(w[0]) - 1).bit_length() if ud else 128
+    l_max = _pow2(w[0]) if ud else 128
     widths = [l_max]
     if l_max > 512:
         widths.append(512)
@@ -449,8 +450,8 @@ def plan_pool_host(grid_host: dict, target: np.ndarray) -> dict | None:
     # Bucket-padded upload arrays. Sentinels: indices one past the pow2
     # scatter-table sizes (dropped by mode="drop"), dead packed rows, and
     # row_vals = ud_pad (dropped when scattering the padded numbering).
-    prod_e_pad = 1 << (max(dil["prod_e"], 2) - 1).bit_length()
-    prod_d_pad = 1 << (max(dil["prod_d"], 2) - 1).bit_length()
+    prod_e_pad = _pow2(dil["prod_e"])
+    prod_d_pad = _pow2(dil["prod_d"])
     u = int(dil["base_e"].shape[0])
     u_pad = _bucket_rows(u)
     n_pad = _bucket_rows(n + 1)
