@@ -35,6 +35,24 @@ def round_up(n: int, multiple: int) -> int:
     return ((n + multiple - 1) // multiple) * multiple
 
 
+def pow2(n: int) -> int:
+    """Smallest power of two >= n (>= 2): stabilizes data-dependent static
+    sizes (scatter tables, class widths) across scans of a sequence."""
+    return 1 << (max(int(n), 2) - 1).bit_length()
+
+
+def bucket_rows(n: int, floor: int = 64) -> int:
+    """Round ``n`` up at ~12.5% granularity (pow2/8 steps, >= ``floor``).
+
+    Static shapes derived from bucketed sizes repeat across scans of
+    similar geometry, so per-pair jit programs are compiled once per
+    sequence instead of once per pair.
+    """
+    n = max(int(n), floor)
+    q = max(floor, 1 << max(n.bit_length() - 4, 0))
+    return round_up(n, q)
+
+
 def pad_cloud(points: np.ndarray, multiple: int, pad_value: float = np.inf):
     """Pad an (n, 3) cloud to (round_up(n, multiple), 3).
 

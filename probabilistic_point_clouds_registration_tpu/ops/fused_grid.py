@@ -41,7 +41,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..core.types import Correspondences, round_up
+from ..core.types import Correspondences, bucket_rows as _bucket_rows, pow2 as _pow2, round_up
 
 # Sources per cell-pure group == f32 sublane count: the in-kernel
 # window-to-rows broadcast then maps exactly onto sublane replication.
@@ -50,12 +50,6 @@ GROUP = 8
 BLOCK_GROUPS = 16
 # Dead-candidate coordinate sentinel: squared distances overflow any radius.
 _BIG = np.float32(1e30)
-
-
-def _pow2(n: int) -> int:
-    """Smallest power of two >= n (>= 2): stabilizes data-dependent static
-    sizes (scatter tables, class widths) across scans of a sequence."""
-    return 1 << (max(int(n), 2) - 1).bit_length()
 
 
 class PrepackedGrid(NamedTuple):
@@ -116,8 +110,10 @@ def dilate_cells_host(
     prod_d = int(dims_d.prod())
     if prod_d > (1 << 25):
         return None
-    cell_ids = grid_host["cell_ids"].astype(np.int64)
-    u = cell_ids.shape[0]
+    # Only the real occupied cells: the grid pads its arrays to a row
+    # bucket (ops/grid.py) with sentinel ids that must not be decoded.
+    u = grid_host.get("num_cells", grid_host["cell_ids"].shape[0])
+    cell_ids = grid_host["cell_ids"][:u].astype(np.int64)
     # Decode occupied cells, dilate by one in every direction (extended
     # coords = original + 1 so the border ring is always addressable — no
     # bounds mask needed). All index math stays in flat linear space: the
@@ -159,7 +155,7 @@ def dilate_cells_host(
     # kernel's extraction cost is proportional to lane width.
     if counts is None:
         counts = (grid_host["bucket_idx"] >= 0).sum(axis=1)
-    counts_pad = np.concatenate([counts, [0]]).astype(np.int32)
+    counts_pad = np.concatenate([counts[:u], [0]]).astype(np.int32)
     union = counts_pad[np.where(nrows >= 0, nrows, u)].sum(
         axis=1, dtype=np.int32
     )
@@ -291,21 +287,24 @@ def _assemble_prepack(bucket_pts, bucket_idx, nrows, *, capacity: int, n_lanes: 
     return cand_xyz, cand_idx
 
 
-@partial(jax.jit, static_argnames=("capacity", "n_lanes", "prod_d", "prod_e"))
+@partial(jax.jit, static_argnames=("capacity", "n_lanes", "prod_d", "prod_e", "ud_pad"))
 def _build_prepack_dev(bucket_pts, bucket_idx, base_e, d_cells_e, off_e,
-                       d_cells, *, capacity, n_lanes, prod_d, prod_e):
+                       d_cells, row_vals, *, capacity, n_lanes, prod_d,
+                       prod_e, ud_pad):
     """Device half of the dense prepack as ONE program (same seeds-only
     scheme as fused_pool._build_pools: the host ships ~KB of cell-id seeds
     instead of the (UD, 27) neighbor-row table + dense LUT, and the ctor
-    pays one dispatch instead of several)."""
+    pays one dispatch instead of several). Window rows [UD, ud_pad) are
+    dead padding (bucketed row count — stable shapes across a sequence)."""
     from .fused_pool import _neighbor_rows, _scatter_lut
 
-    lut_d = _scatter_lut(
-        d_cells,
-        jnp.arange(d_cells.shape[0], dtype=jnp.int32),
-        prod_d=prod_d,
+    lut_d = _scatter_lut(d_cells, row_vals, prod_d=prod_d)
+    nrows_real = _neighbor_rows(base_e, d_cells_e, off_e, prod_e=prod_e)
+    nrows = (
+        jnp.full((ud_pad, 27), -1, jnp.int32)
+        .at[row_vals]
+        .set(nrows_real, mode="drop")
     )
-    nrows = _neighbor_rows(base_e, d_cells_e, off_e, prod_e=prod_e)
     cand_xyz, cand_idx = _assemble_prepack.__wrapped__(
         bucket_pts, bucket_idx, nrows, capacity=capacity, n_lanes=n_lanes
     )
@@ -324,24 +323,53 @@ def build_prepack(grid_host: dict, device_grid, k: int = 20) -> PrepackedGrid | 
     if dil is None:
         return None
     capacity = grid_host["capacity"]
-    # Packed lane width: the largest real candidate union (rounded to the
-    # 128-lane tile), never more than the raw 27*capacity window.
+    # Packed lane width: the largest real candidate union, never more than
+    # the raw 27*capacity window — bucketed at ~12.5% granularity (128-lane
+    # floor) so scan-to-scan max-union noise doesn't recompile the pair
+    # programs; dead lanes past the real union cost nothing in the kernel
+    # (width predication) and <=12.5% extra prepack gather.
     n_lanes = min(
         round_up(27 * capacity, 128),
-        round_up(max(dil["max_union"], 128), 128),
+        _bucket_rows(max(dil["max_union"], 128), 128),
     )
+    # Bucketed window count: dead rows at the tail (dropped-scatter row ids,
+    # zero width) keep every downstream shape stable across similar scans.
+    ud = dil["n_dilated"]
+    ud_pad = _bucket_rows(ud)
+    ud_b = ud_pad  # upload bucket for the seed arrays
+
+    def pad1(a, length, value):
+        out = np.full((length,), value, a.dtype)
+        out[: a.shape[0]] = a
+        return out
+
+    prod_d_pad = _pow2(dil["prod_d"])
+    prod_e_pad = _pow2(dil["prod_e"])
+    width_lut = np.zeros((ud_pad + 1,), np.int32)
+    width_lut[:ud] = np.minimum(dil["width_lut"][:ud], n_lanes)
+    union_lut = np.zeros((ud_pad + 1,), np.int32)
+    union_lut[:ud] = dil["union_lut"][:ud]
     dev = jax.device_put(
         {
-            "base_e": dil["base_e"],
-            "d_cells_e": dil["d_cells_e"],
+            "base_e": pad1(
+                dil["base_e"].astype(np.int32),
+                _bucket_rows(dil["base_e"].shape[0]),
+                prod_e_pad,
+            ),
+            "d_cells_e": pad1(dil["d_cells_e"].astype(np.int32), ud_b, 0),
             "off_e": dil["off_e"],
-            "d_cells": dil["d_cells"],
+            "d_cells": pad1(
+                dil["d_cells"].astype(np.int32), ud_b, prod_d_pad
+            ),
+            "row_vals": pad1(
+                np.arange(ud, dtype=np.int32), ud_b, ud_pad
+            ),
             "dims_d": dil["dims_d"],
             "origin_d": dil["origin_d"].astype(
                 np.dtype(device_grid.bucket_pts.dtype)
             ),
-            "width_lut": np.minimum(dil["width_lut"], n_lanes),
-            "union_lut": dil["union_lut"],
+            "width_lut": width_lut,
+            "union_lut": union_lut,
         }
     )
     cand_xyz, cand_idx, lut_d = _build_prepack_dev(
@@ -351,10 +379,12 @@ def build_prepack(grid_host: dict, device_grid, k: int = 20) -> PrepackedGrid | 
         dev["d_cells_e"],
         dev["off_e"],
         dev["d_cells"],
+        dev["row_vals"],
         capacity=capacity,
         n_lanes=n_lanes,
-        prod_d=_pow2(dil["prod_d"]),
-        prod_e=_pow2(dil["prod_e"]),
+        prod_d=prod_d_pad,
+        prod_e=prod_e_pad,
+        ud_pad=ud_pad,
     )
     return PrepackedGrid(
         cand_xyz=cand_xyz,

@@ -51,11 +51,11 @@ import numpy as np
 from jax import lax
 
 from ..core.types import Correspondences, round_up
+from ..core.types import bucket_rows as _bucket_rows, pow2 as _pow2
 from .fused_grid import (
     BLOCK_GROUPS,
     GROUP,
     _BIG,
-    _pow2,
     _group_by_window,
     _run_select,
     _small_unions,
@@ -156,18 +156,6 @@ def _plan_classes(union: np.ndarray) -> tuple[list[int], list[int]]:
             ends_out.append(int(e))
             prev = e
     return widths_out, ends_out
-
-
-def _bucket_rows(n: int, floor: int = 64) -> int:
-    """Round ``n`` up at ~12.5% granularity (pow2/8 steps, >= ``floor``).
-
-    Static shapes derived from bucketed sizes repeat across scans of
-    similar geometry, so per-pair jit programs are compiled once per
-    sequence instead of once per pair.
-    """
-    n = max(int(n), floor)
-    q = max(floor, 1 << max(n.bit_length() - 4, 0))
-    return round_up(n, q)
 
 
 def _scatter_lut(d_cells, row_vals, *, prod_d: int):

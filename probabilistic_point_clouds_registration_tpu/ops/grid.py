@@ -37,7 +37,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from ..core.types import Correspondences, round_up
+from ..core.types import Correspondences, bucket_rows, pow2, round_up
 
 _INT32_MAX = 2**31 - 1
 # Dense cell->bucket LUT cap: 32M cells = 128 MB of int32 on device.
@@ -151,22 +151,36 @@ def build_grid_host(
         return None  # occupancy too high for the grid to pay off
 
     u = cell_ids.shape[0]
+    # Bucketed occupied-cell count: the (U, capacity[, 3]) tensors key every
+    # jitted search/chunk program by SHAPE, so a scan sequence with a
+    # data-exact U recompiles per pair. Pad rows are empty cells (idx -1,
+    # cell id = dims_prod — one past any real id, never matched by a lut
+    # lookup); "num_cells" carries the real count for host-side consumers
+    # (dilation must not decode the sentinel ids).
+    dims_prod = int(dims[0]) * int(dims[1]) * int(dims[2])
+    u_pad = bucket_rows(u)
     # Materialized padded buckets: contiguous per-cell coordinate rows.
     # Points past ``capacity`` within their cell become overflow.
     cell_row = np.searchsorted(cell_ids, lin_sorted)
     slot_of = np.arange(n) - start[cell_row]
     in_cap = slot_of < capacity
-    bucket_idx = np.full((u, capacity), -1, dtype=np.int32)
+    bucket_idx = np.full((u_pad, capacity), -1, dtype=np.int32)
     bucket_idx[cell_row[in_cap], slot_of[in_cap]] = order[in_cap].astype(np.int32)
-    bucket_pts = np.zeros((u, capacity, 3), dtype=target.dtype)
+    bucket_pts = np.zeros((u_pad, capacity, 3), dtype=target.dtype)
     live = bucket_idx >= 0
     bucket_pts[live] = pts[bucket_idx[live]]
 
-    dims_prod = int(dims[0]) * int(dims[1]) * int(dims[2])
+    cell_ids_pad = np.full((u_pad,), dims_prod, dtype=np.int32)
+    cell_ids_pad[:u] = cell_ids
+    start_pad = np.full((u_pad,), n, dtype=np.int32)
+    start_pad[:u] = start
+    counts_pad_arr = np.zeros((u_pad,), dtype=np.int32)
+    counts_pad_arr[:u] = counts
     out = {
         "bucket_pts": bucket_pts,
         "bucket_idx": bucket_idx,
-        "cell_ids": cell_ids.astype(np.int32),
+        "cell_ids": cell_ids_pad,
+        "num_cells": u,
         "capacity": capacity,
         "origin": origin,
         "dims": dims.astype(np.int32),
@@ -177,8 +191,8 @@ def build_grid_host(
         # pool engine (ops/fused_pool.py) packs per-window candidate lists
         # straight out of contiguous [start, start+count) ranges of it.
         "sort_order": order.astype(np.int32),
-        "cell_start": start.astype(np.int32),
-        "cell_count": counts.astype(np.int32),
+        "cell_start": start_pad,
+        "cell_count": counts_pad_arr,
     }
     n_over = int((~in_cap).sum())
     if n_over:
@@ -191,7 +205,8 @@ def build_grid_host(
         out["overflow_pts"] = overflow_pts
         out["overflow_idx"] = overflow_idx
     if dims_prod <= _MAX_DENSE_LUT_CELLS:
-        lut_np = np.full((dims_prod,), -1, dtype=np.int32)
+        # Pow2-padded length: the LUT's shape keys the jitted search too.
+        lut_np = np.full((pow2(dims_prod),), -1, dtype=np.int32)
         lut_np[cell_ids] = np.arange(u, dtype=np.int32)
         out["lut"] = lut_np
     return out

@@ -251,6 +251,11 @@ def test_pool_compile_stability_across_scans():
             plan["prod_d_pad"], plan["prod_e_pad"],
             plan["packed"].shape, plan["base_e"].shape,
             plan["d_cells"].shape,
+            # Grid-level bucketing: the XLA engine's tensors key the jitted
+            # search by shape too.
+            gh["bucket_pts"].shape, gh["bucket_idx"].shape,
+            gh["cell_ids"].shape, gh["capacity"],
+            gh["lut"].shape if "lut" in gh else None,
         ))
     assert keys[0] == keys[1], (
         "bucketing failed to stabilize the static geometry:\n"
