@@ -336,7 +336,6 @@ def build_prepack(grid_host: dict, device_grid, k: int = 20) -> PrepackedGrid | 
     # zero width) keep every downstream shape stable across similar scans.
     ud = dil["n_dilated"]
     ud_pad = _bucket_rows(ud)
-    ud_b = ud_pad  # upload bucket for the seed arrays
 
     def pad1(a, length, value):
         out = np.full((length,), value, a.dtype)
@@ -356,13 +355,13 @@ def build_prepack(grid_host: dict, device_grid, k: int = 20) -> PrepackedGrid | 
                 _bucket_rows(dil["base_e"].shape[0]),
                 prod_e_pad,
             ),
-            "d_cells_e": pad1(dil["d_cells_e"].astype(np.int32), ud_b, 0),
+            "d_cells_e": pad1(dil["d_cells_e"].astype(np.int32), ud_pad, 0),
             "off_e": dil["off_e"],
             "d_cells": pad1(
-                dil["d_cells"].astype(np.int32), ud_b, prod_d_pad
+                dil["d_cells"].astype(np.int32), ud_pad, prod_d_pad
             ),
             "row_vals": pad1(
-                np.arange(ud, dtype=np.int32), ud_b, ud_pad
+                np.arange(ud, dtype=np.int32), ud_pad, ud_pad
             ),
             "dims_d": dil["dims_d"],
             "origin_d": dil["origin_d"].astype(
