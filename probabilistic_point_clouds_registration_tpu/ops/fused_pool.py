@@ -83,6 +83,22 @@ MAX_POOL_BYTES = 2 << 30
 XLA_SELECT_MAX_W = 64
 
 
+def _select_max_w() -> int:
+    """Backend-dependent narrow-class cutoff for the XLA top_k select.
+
+    Every class pass covers the group PREFIX [0, B_c): the Pallas kernel
+    skips out-of-class blocks via the width-0 dead-block branch (near
+    free), but the XLA top_k path has no skip — it pays gather + distance
+    + top_k + result scatter over the FULL budget. Narrow classes sit at
+    the END of the width-sorted window order, so their budgets span almost
+    every group, and on TPU the top_k passes measured 16.6 vs 2.1 s/pair
+    (align, KITTI 131k) against the kernel's dead-block skip. On CPU —
+    where Pallas runs interpreted/emulated and top_k is cheap — the XLA
+    path remains the faster one, so the cutoff stays there.
+    """
+    return 0 if jax.default_backend() == "tpu" else XLA_SELECT_MAX_W
+
+
 class PoolPrepack(NamedTuple):
     """Per-pair pooled fused-search state (device arrays unless noted).
 
@@ -561,13 +577,13 @@ def build_pool_prepack(
         budget_rows=plan["budget_rows"],
         n_dilated=dil["n_dilated"],
         cell_size=plan["cell_size"],
-        # Only windows in kernel classes (w > XLA_SELECT_MAX_W) ever run
+        # Only windows in kernel classes (w > _select_max_w()) ever run
         # the extraction loop; the counted-loop hint must ignore the
         # narrow unions the XLA top_k classes absorbed, else it enables
         # the ~15%/round loop overhead exactly where no round can be
         # saved (all kernel-class unions exceed k for k <= 64).
         small_unions=_small_unions(
-            dil["union"][dil["union"] > XLA_SELECT_MAX_W], k
+            dil["union"][dil["union"] > _select_max_w()], k
         ),
     )
 
@@ -681,7 +697,7 @@ def fused_pool_search(
         local = jnp.where(in_class, rows_c - prev_end, n_c)
         win_xyz = pool_xyz[c][local]
         win_idx = pool_idx[c][local]
-        if w_c <= XLA_SELECT_MAX_W:
+        if w_c <= _select_max_w():
             res = _xla_class_select(
                 padded[: b_c * GROUP], win_xyz, win_idx,
                 k=k, kp=kp, radius=radius, return_points=return_points,
