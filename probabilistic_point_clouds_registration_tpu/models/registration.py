@@ -599,15 +599,14 @@ class ProbabilisticRegistration:
                 max_overflow=params.grid_max_overflow,
             )
         if grid is not None and params.search_impl in ("auto", "pool"):
-            from ..ops import fused_grid as _fg
             from ..ops.fused_pool import plan_pool_host
 
-            counts = (grid["bucket_idx"] >= 0).sum(axis=1)
-            est_rows = int(np.ceil(counts / _fg.GROUP).sum()) * _fg.GROUP
-            if params.search_impl == "pool" or est_rows > 1.7 * tg.shape[0]:
-                # Sparse scan: precompute the pooled engine's host plan here
-                # (dilation + class planning + packed sort — ~0.5 s at KITTI
-                # scale) so sequence pipelines overlap it with device compute.
+            if params.search_impl == "pool" or jax.default_backend() == "tpu":
+                # The pooled engine is the TPU default at every density
+                # (ctor engine selection below); precompute its host plan
+                # here (dilation + class planning + packed sort — ~0.5 s at
+                # KITTI scale) so sequence pipelines overlap it with device
+                # compute.
                 pool_plan = plan_pool_host(grid, tg)
         prepared = {
             "target_cloud": target,
@@ -756,32 +755,16 @@ class ProbabilisticRegistration:
             on_tpu = jax.default_backend() == "tpu"
             from ..ops import fused_grid as _fg
 
-            counts = (grid["bucket_idx"] >= 0).sum(axis=1)
-            est_rows = int(np.ceil(counts / _fg.GROUP).sum()) * _fg.GROUP
-            # Same denominator as prepare_target's pool gate (the padded
-            # TARGET count — the estimate derives from target occupancy),
-            # so the prep thread and the ctor always agree on the engine.
-            dense_fit = est_rows <= 1.7 * self._target_dev.shape[0]
-            if params.search_impl == "fused" or (
-                params.search_impl == "auto" and on_tpu and dense_fit
+            if params.search_impl == "pool" or (
+                params.search_impl == "auto" and on_tpu
             ):
-                # Dense scans: the grouped engine's single full-width prepack
-                # (explicit "fused" skips the fit estimate; the runtime
-                # overflow flag still protects correctness).
-                pre = _fg.build_prepack(grid, self._grid, k=params.max_neighbours)
-                if pre is not None:
-                    self._prepack = pre
-                    self._fused_interpret = not on_tpu
-                    self.out << (
-                        f"Fused engine: {pre.n_dilated} dilated cells, "
-                        f"{pre.n_lanes} candidate lanes\n"
-                    )
-            elif params.search_impl == "pool" or (
-                params.search_impl == "auto" and on_tpu and not dense_fit
-            ):
-                # Sparse scans (LiDAR): width-class pools sized to each
-                # window's real candidate union. The host plan may have been
-                # precomputed on the sequence pipeline's target-prep thread.
+                # Pooled engine first at every density: width-class pools
+                # sized to each window's real candidate union beat the
+                # dense engine's uniform-width prepack even on dense scans
+                # (35k bunny pair, same window: 369 vs 478 ms/pair) and are
+                # the only fit for sparse LiDAR (KITTI 131k: 3.2 vs 8.0 s).
+                # The host plan may have been precomputed on the sequence
+                # pipeline's target-prep thread.
                 from ..ops import fused_pool as _fp
 
                 pool = prepared_target.get("pool_prepack")
@@ -800,6 +783,26 @@ class ProbabilisticRegistration:
                         f"Pooled engine: {pool.n_dilated} dilated cells, "
                         f"classes {pool.class_widths} x {pool.class_ends}\n"
                     )
+            if self._pool is None and params.search_impl in ("auto", "fused"):
+                counts = (grid["bucket_idx"] >= 0).sum(axis=1)
+                est_rows = int(np.ceil(counts / _fg.GROUP).sum()) * _fg.GROUP
+                dense_fit = est_rows <= 1.7 * self._target_dev.shape[0]
+                if params.search_impl == "fused" or (on_tpu and dense_fit):
+                    # Dense-scan fallback when the pool plan declines (union
+                    # beyond MAX_CLASS_LANES / pools past MAX_POOL_BYTES):
+                    # the grouped engine's single full-width prepack
+                    # (explicit "fused" skips the fit estimate; the runtime
+                    # overflow flag still protects correctness).
+                    pre = _fg.build_prepack(
+                        grid, self._grid, k=params.max_neighbours
+                    )
+                    if pre is not None:
+                        self._prepack = pre
+                        self._fused_interpret = not on_tpu
+                        self.out << (
+                            f"Fused engine: {pre.n_dilated} dilated cells, "
+                            f"{pre.n_lanes} candidate lanes\n"
+                        )
 
         self._lm_config = LMConfig(
             dof=params.dof,
