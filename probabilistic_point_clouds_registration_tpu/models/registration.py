@@ -439,6 +439,7 @@ def _registration_scan_fused(
     static_argnames=(
         "k", "radius", "lm_config", "class_widths", "class_ends",
         "class_budgets", "budget_rows", "chunk", "interpret", "dyn_rounds",
+        "select_max_w",
     ),
 )
 def _registration_scan_pool(
@@ -466,6 +467,7 @@ def _registration_scan_pool(
     chunk: int,
     interpret: bool = False,
     dyn_rounds: bool = False,
+    select_max_w: int | None = None,
 ):
     """``chunk`` outer iterations with the capacity-free pooled engine
     (ops/fused_pool.py) — the sparse/LiDAR-scale path. The select kernel
@@ -499,6 +501,7 @@ def _registration_scan_pool(
             interpret=interpret,
             return_points=True,
             dyn_rounds=dyn_rounds,
+            select_max_w=select_max_w,
         )
         res = em_lm_solve(moved, gathered, corr.mask, q0, t0, lm_config)
         qn = quat_normalize(res.q)
@@ -598,7 +601,15 @@ class ProbabilisticRegistration:
                 tg, params.radius, num_valid=n_tgt,
                 max_overflow=params.grid_max_overflow,
             )
-        if grid is not None and params.search_impl in ("auto", "pool"):
+        # The ctor drops the grid entirely (brute-force engine) on "auto"
+        # when the candidate set is too close to M — replicate that density
+        # check here so dense scans don't pay a ~0.5 s pool plan (and, with
+        # device=True, a device pool build) the ctor would never consume.
+        grid_kept = grid is not None and not (
+            params.search_impl == "auto"
+            and 27 * grid["capacity"] * 8 > n_tgt
+        )
+        if grid_kept and params.search_impl in ("auto", "pool"):
             from ..ops.fused_pool import plan_pool_host
 
             if params.search_impl == "pool" or jax.default_backend() == "tpu":
@@ -606,8 +617,12 @@ class ProbabilisticRegistration:
                 # (ctor engine selection below); precompute its host plan
                 # here (dilation + class planning + packed sort — ~0.5 s at
                 # KITTI scale) so sequence pipelines overlap it with device
-                # compute.
+                # compute. False = "attempted and DECLINED" (vs None =
+                # never attempted): the ctor must not re-run the host plan
+                # just to decline again.
                 pool_plan = plan_pool_host(grid, tg)
+                if pool_plan is None:
+                    pool_plan = False
         prepared = {
             "target_cloud": target,
             "tg": tg,
@@ -615,7 +630,7 @@ class ProbabilisticRegistration:
             "grid": grid,
             "pool_plan": pool_plan,
         }
-        if device and pool_plan is not None:
+        if device and pool_plan:
             on_tpu = jax.default_backend() == "tpu"
             if params.search_impl == "pool" or (
                 params.search_impl == "auto" and on_tpu
@@ -768,12 +783,17 @@ class ProbabilisticRegistration:
                 from ..ops import fused_pool as _fp
 
                 pool = prepared_target.get("pool_prepack")
-                if pool is None:
+                plan = prepared_target.get("pool_plan")
+                # plan is False when prepare_target already attempted the
+                # host plan and it DECLINED (sparse-engine misfit) — don't
+                # re-run the ~0.5 s plan on the ctor critical path just to
+                # decline again.
+                if pool is None and plan is not False:
                     pool = _fp.build_pool_prepack(
                         grid,
                         prepared_target["tg"],
                         dtype=np_dtype,
-                        plan=prepared_target.get("pool_plan"),
+                        plan=plan,
                         k=params.max_neighbours,
                     )
                 if pool is not None:
@@ -1032,6 +1052,7 @@ class ProbabilisticRegistration:
                     chunk=fchunk,
                     interpret=self._fused_interpret,
                     dyn_rounds=pool.small_unions,
+                    select_max_w=pool.select_max_w,
                 )
                 *rows, ovf = jax.device_get(outs)
                 if int(np.sum(ovf)) > 0:

@@ -30,9 +30,11 @@ union (reference search semantics: src/prob_point_cloud_registration.cc:72-81):
      the dense engine; pass c covers the first B_c groups only. Groups are
      sorted by window row == descending width, so every class-c group
      provably lives in that prefix; a static per-class budget with a runtime
-     coverage flag replaces dynamic shapes. Classes wider than
-     XLA_SELECT_MAX_W run the width-predicated Pallas select kernel; narrow
-     classes skip the kernel for a stable lax.top_k over their w-wide rows
+     coverage flag replaces dynamic shapes. Classes wider than the
+     backend-resolved narrow-class cutoff (see :func:`_select_max_w` — 0 on
+     TPU, so every class runs the kernel there) use the width-predicated
+     Pallas select kernel; on CPU, classes at or below XLA_SELECT_MAX_W
+     lanes skip the kernel for a stable lax.top_k over their w-wide rows
      (for w <= k that is no selection at all — every in-radius candidate is
      a neighbor).
 
@@ -73,13 +75,13 @@ MAX_CLASS_LANES = 4096
 # capacity padding); beyond this the prepack declines and the caller stays
 # on the XLA engines.
 MAX_POOL_BYTES = 2 << 30
-# Width classes at or below this lane count skip the Pallas kernel: a
-# stable lax.top_k over the w-wide candidate rows reproduces the exact
-# (distance, lane) slot order of the min-extraction loop, and for w <= k
-# it is a plain stable sort (every in-radius candidate is a neighbor — no
-# selection exists to do). At KITTI scale ~82% of windows have real unions
-# <= 8 against k=20, so the dominant classes pay a few elementwise passes
-# instead of a k-round extraction.
+# CPU-only narrow-class cutoff (see _select_max_w: the resolved cutoff is 0
+# on TPU, so every class runs the Pallas kernel there). On CPU, width
+# classes at or below this lane count skip the kernel: a stable lax.top_k
+# over the w-wide candidate rows reproduces the exact (distance, lane) slot
+# order of the min-extraction loop, and for w <= k it is a plain stable
+# sort (every in-radius candidate is a neighbor — no selection exists to
+# do).
 XLA_SELECT_MAX_W = 64
 
 
@@ -133,6 +135,11 @@ class PoolPrepack(NamedTuple):
     n_dilated: int
     cell_size: float
     small_unions: bool = False
+    # Narrow-class cutoff resolved ONCE at build time (the small_unions
+    # filter and the search routing must agree; sampling the backend again
+    # at trace time could route classes inconsistently with the frozen
+    # hint). None = legacy/direct-call prepacks: resolve at trace time.
+    select_max_w: int | None = None
 
 
 def _plan_classes(union: np.ndarray) -> tuple[list[int], list[int]]:
@@ -360,11 +367,11 @@ def plan_pool_host(grid_host: dict, target: np.ndarray) -> dict | None:
     # each pow2 width band is a contiguous row range and becomes its OWN
     # class: pools carry no lane padding (the per-element pool gather
     # dominates device packing, so each class gathers only ~real-union
-    # lanes), wide classes run the select kernel at their own width, and
-    # narrow classes (w <= XLA_SELECT_MAX_W) skip the kernel entirely — for
-    # w <= k every in-radius candidate IS a neighbor, and a stable
-    # lax.top_k over the w-wide rows reproduces the exact (distance, lane)
-    # slot order of the min-extraction loop at trivial cost.
+    # lanes), wide classes run the select kernel at their own width, and —
+    # on CPU, where the resolved cutoff is nonzero (_select_max_w) —
+    # narrow classes skip the kernel entirely for a stable lax.top_k over
+    # the w-wide rows, which reproduces the exact (distance, lane) slot
+    # order of the min-extraction loop at trivial cost.
     w_pow2 = np.maximum(
         8, 1 << np.ceil(np.log2(np.maximum(union, 1))).astype(np.int64)
     )
@@ -516,6 +523,11 @@ def build_pool_prepack(
         return None
     dil = plan["dil"]
     widths, ends = plan["widths"], plan["ends"]
+    # Resolve the narrow-class cutoff once; the prepack carries it so the
+    # search routes classes with the SAME decision the small_unions hint
+    # below was filtered with (a process whose default backend changed
+    # between build and search would otherwise route inconsistently).
+    smw = _select_max_w()
 
     dev = jax.device_put(
         {
@@ -577,14 +589,13 @@ def build_pool_prepack(
         budget_rows=plan["budget_rows"],
         n_dilated=dil["n_dilated"],
         cell_size=plan["cell_size"],
-        # Only windows in kernel classes (w > _select_max_w()) ever run
+        # Only windows in kernel classes (w > the resolved cutoff) ever run
         # the extraction loop; the counted-loop hint must ignore the
         # narrow unions the XLA top_k classes absorbed, else it enables
         # the ~15%/round loop overhead exactly where no round can be
         # saved (all kernel-class unions exceed k for k <= 64).
-        small_unions=_small_unions(
-            dil["union"][dil["union"] > _select_max_w()], k
-        ),
+        small_unions=_small_unions(dil["union"][dil["union"] > smw], k),
+        select_max_w=smw,
     )
 
 
@@ -641,6 +652,7 @@ def _xla_class_select(rows4, win_xyz, win_idx, *, k, kp, radius,
     static_argnames=(
         "k", "radius", "class_widths", "class_ends", "class_budgets",
         "budget_rows", "interpret", "return_points", "dyn_rounds",
+        "select_max_w",
     ),
 )
 def fused_pool_search(
@@ -663,13 +675,18 @@ def fused_pool_search(
     interpret: bool = False,
     return_points: bool = False,
     dyn_rounds: bool = False,
+    select_max_w: int | None = None,
 ):
     """Radius-capped KNN via width-class pools + the Pallas select kernel.
 
     Same contract as fused_grid_search: returns (Correspondences, overflow
     [, points]); overflow > 0 when either the row budget or a class-prefix
     budget was exceeded — the caller redoes the iteration on an XLA engine.
+    ``select_max_w`` is the narrow-class cutoff frozen at prepack-build time
+    (PoolPrepack.select_max_w); None resolves it from the current default
+    backend (direct/legacy calls only).
     """
+    smw = _select_max_w() if select_max_w is None else select_max_w
     n = source.shape[0]
     dtype = source.dtype
     ud = width_lut.shape[0] - 1
@@ -697,7 +714,7 @@ def fused_pool_search(
         local = jnp.where(in_class, rows_c - prev_end, n_c)
         win_xyz = pool_xyz[c][local]
         win_idx = pool_idx[c][local]
-        if w_c <= _select_max_w():
+        if w_c <= smw:
             res = _xla_class_select(
                 padded[: b_c * GROUP], win_xyz, win_idx,
                 k=k, kp=kp, radius=radius, return_points=return_points,
