@@ -363,17 +363,26 @@ def plan_pool_host(grid_host: dict, target: np.ndarray) -> dict | None:
     packed[n, :3] = _BIG
     packed[n, 3] = np.int32(-1).view(np.float32)
 
-    # Pow2 sub-width classes (min 8): windows are width-sorted globally, so
-    # each pow2 width band is a contiguous row range and becomes its OWN
-    # class: pools carry no lane padding (the per-element pool gather
-    # dominates device packing, so each class gathers only ~real-union
-    # lanes), wide classes run the select kernel at their own width, and —
-    # on CPU, where the resolved cutoff is nonzero (_select_max_w) —
-    # narrow classes skip the kernel entirely for a stable lax.top_k over
-    # the w-wide rows, which reproduces the exact (distance, lane) slot
-    # order of the min-extraction loop at trivial cost.
+    # Pow2 sub-width classes: windows are width-sorted globally, so each
+    # pow2 width band is a contiguous row range and becomes its OWN class.
+    # The SPLIT FLOOR is backend-resolved (same decision as the
+    # narrow-class select cutoff, _select_max_w):
+    #   * CPU (cutoff 64): floor 8 — narrow classes skip the kernel for a
+    #     stable lax.top_k over their w-wide rows (for w <= k that is a
+    #     plain stable sort), so 8/16/32/64-lane classes each pay only
+    #     their real width in pool memory and top_k work.
+    #   * TPU (cutoff 0): floor 128 — every class runs the Pallas kernel,
+    #     where any window <= 128 lanes occupies exactly one 128-lane VPU
+    #     row; splitting below 128 saves NO kernel work but multiplies
+    #     kernel passes, and the narrow tail classes each cover nearly the
+    #     whole group budget (their budgets hit ng). Measured on the KITTI
+    #     131k pair: floor 8 = 9 classes, 103.9 ms/iter steady align; floor
+    #     128 = 5 classes, 73.7 ms/iter, pool build time ~equal (0.61 vs
+    #     0.67 s — build is dispatch-dominated, not gather-bound). See
+    #     docs/PERF.md round-3 log.
+    w_floor = 128 if _select_max_w() == 0 else 8
     w_pow2 = np.maximum(
-        8, 1 << np.ceil(np.log2(np.maximum(union, 1))).astype(np.int64)
+        w_floor, 1 << np.ceil(np.log2(np.maximum(union, 1))).astype(np.int64)
     )
     widths2, ends2 = [], []
     prev = 0
