@@ -335,7 +335,32 @@ def _assemble_pool_class(packed_sorted, cell_start, cell_count, nrows_c,
     return xyz, idx
 
 
-def plan_pool_host(grid_host: dict, target: np.ndarray) -> dict | None:
+def _ladder_ends(union: np.ndarray, widths: list[int]) -> list[int] | None:
+    """Bin width-sorted windows into a GIVEN descending pow2 width ladder.
+
+    Window width = pow2(union) clipped up to the ladder's narrowest class.
+    Returns the exclusive end rows (one per ladder class, empty classes
+    keep a zero-size band — SPMD consumers need every shard to share the
+    ladder), or None when some window is wider than the ladder's top class.
+    """
+    ud = union.shape[0]
+    w = np.maximum(
+        widths[-1],
+        1 << np.ceil(np.log2(np.maximum(union, 1))).astype(np.int64),
+    )
+    if ud and int(w[0]) > widths[0]:
+        return None
+    ends = []
+    for c in range(len(widths)):
+        nxt = widths[c + 1] if c + 1 < len(widths) else 0
+        ends.append(ud - int(np.searchsorted(w[::-1], nxt + 1, side="left")))
+    ends[-1] = ud
+    return ends
+
+
+def plan_pool_host(
+    grid_host: dict, target: np.ndarray, *, force: dict | None = None
+) -> dict | None:
     """Host-only half of the pool prepack (pure numpy — sequence pipelines
     run it on the target-prep thread, models/odometry.py).
 
@@ -344,6 +369,17 @@ def plan_pool_host(grid_host: dict, target: np.ndarray) -> dict | None:
     fit the engine: extended LUT too large (dilate_cells_host), a window
     union beyond MAX_CLASS_LANES, or pools past MAX_POOL_BYTES — callers
     then stay on the XLA grid engine.
+
+    ``force`` harmonizes every STATIC dimension of the plan to caller-given
+    values so several plans share one compiled program and identical array
+    shapes — the contract SPMD consumers need (parallel/pool_sharded.py
+    builds one plan per target shard; every shard must agree on the static
+    key). Keys: ``widths`` (the class ladder — windows are then binned
+    purely by pow2(union) clipped into the ladder, see :func:`_ladder_ends`),
+    ``pad_sizes`` (padded per-class row counts), ``prod_d_pad``,
+    ``prod_e_pad``, ``u_pad``, ``n_pad``, ``ud_b``. All forced values must
+    dominate this scan's real sizes (returns None otherwise — the caller
+    derived them from a superset of scans).
     """
     counts_full = grid_host["cell_count"].astype(np.int64)
     dil = dilate_cells_host(grid_host, counts=counts_full, dense_lut=False)
@@ -351,9 +387,14 @@ def plan_pool_host(grid_host: dict, target: np.ndarray) -> dict | None:
         return None
     nrows = dil["nrows"]  # (UD, 27), width-sorted
     union = dil["union"]
-    widths, ends = _plan_classes(union)
-    if widths and widths[0] > MAX_CLASS_LANES:
-        return None
+    if force is None:
+        widths, ends = _plan_classes(union)
+        if widths and widths[0] > MAX_CLASS_LANES:
+            return None
+    else:
+        widths = list(force["widths"])
+        if union.size and int(union.max()) > MAX_CLASS_LANES:
+            return None
 
     n = grid_host["num_valid"]
     order = grid_host["sort_order"]
@@ -380,23 +421,32 @@ def plan_pool_host(grid_host: dict, target: np.ndarray) -> dict | None:
     #     128 = 5 classes, 73.7 ms/iter, pool build time ~equal (0.61 vs
     #     0.67 s — build is dispatch-dominated, not gather-bound). See
     #     docs/PERF.md round-3 log.
-    w_floor = 128 if _select_max_w() == 0 else 8
-    w_pow2 = np.maximum(
-        w_floor, 1 << np.ceil(np.log2(np.maximum(union, 1))).astype(np.int64)
-    )
-    widths2, ends2 = [], []
-    prev = 0
-    for w_c, e_c in zip(widths, ends):
-        cls_w = np.minimum(w_pow2[prev:e_c], w_c)
-        s0 = 0
-        while s0 < e_c - prev:
-            sw = int(cls_w[s0])
-            s1 = int(np.searchsorted(-cls_w, -sw, side="right"))
-            widths2.append(sw)
-            ends2.append(prev + s1)
-            s0 = s1
-        prev = e_c
-    widths, ends = widths2, ends2
+    if force is None:
+        w_floor = 128 if _select_max_w() == 0 else 8
+        w_pow2 = np.maximum(
+            w_floor,
+            1 << np.ceil(np.log2(np.maximum(union, 1))).astype(np.int64),
+        )
+        widths2, ends2 = [], []
+        prev = 0
+        for w_c, e_c in zip(widths, ends):
+            cls_w = np.minimum(w_pow2[prev:e_c], w_c)
+            s0 = 0
+            while s0 < e_c - prev:
+                sw = int(cls_w[s0])
+                s1 = int(np.searchsorted(-cls_w, -sw, side="right"))
+                widths2.append(sw)
+                ends2.append(prev + s1)
+                s0 = s1
+            prev = e_c
+        widths, ends = widths2, ends2
+    else:
+        # Forced ladder: pure pow2 binning (equivalent to the self-derived
+        # split whenever the ladder covers this scan; empty classes keep a
+        # zero-size band so every shard shares the class structure).
+        ends = _ladder_ends(union, widths)
+        if ends is None:
+            return None
 
     # ---- Sequence compile stability: bucket EVERY static dimension ----
     # Data-exact shapes (class row counts, window/cell/point counts, group
@@ -411,10 +461,15 @@ def plan_pool_host(grid_host: dict, target: np.ndarray) -> dict | None:
     # Width-aware class-size floors: small classes (hot-spot tails) vary a
     # lot between scans, and padding them is cheap — floor each class at
     # ~1 MB of pool rows so the count noise disappears into the pad.
-    pad_sizes = [
-        _bucket_rows(s, max(64, (1 << 20) // (16 * w)))
-        for s, w in zip(sizes, widths)
-    ]
+    if force is None:
+        pad_sizes = [
+            _bucket_rows(s, max(64, (1 << 20) // (16 * w)))
+            for s, w in zip(sizes, widths)
+        ]
+    else:
+        pad_sizes = list(force["pad_sizes"])
+        if any(p < s for p, s in zip(pad_sizes, sizes)):
+            return None
     ends_pad = np.cumsum(pad_sizes).tolist()
     ud_pad = int(ends_pad[-1]) if ends_pad else 0
     pool_bytes = sum((p + 1) * w * 16 for p, w in zip(pad_sizes, widths))
@@ -470,16 +525,31 @@ def plan_pool_host(grid_host: dict, target: np.ndarray) -> dict | None:
     # Bucket-padded upload arrays. Sentinels: indices one past the pow2
     # scatter-table sizes (dropped by mode="drop"), dead packed rows, and
     # row_vals = ud_pad (dropped when scattering the padded numbering).
-    prod_e_pad = _pow2(dil["prod_e"])
-    prod_d_pad = _pow2(dil["prod_d"])
     u = int(dil["base_e"].shape[0])
-    u_pad = _bucket_rows(u)
-    n_pad = _bucket_rows(n + 1)
+    if force is None:
+        prod_e_pad = _pow2(dil["prod_e"])
+        prod_d_pad = _pow2(dil["prod_d"])
+        u_pad = _bucket_rows(u)
+        n_pad = _bucket_rows(n + 1)
+        ud_b = _bucket_rows(ud)
+    else:
+        prod_e_pad = force["prod_e_pad"]
+        prod_d_pad = force["prod_d_pad"]
+        u_pad = force["u_pad"]
+        n_pad = force["n_pad"]
+        ud_b = force["ud_b"]
+        if (
+            prod_e_pad < dil["prod_e"]
+            or prod_d_pad < dil["prod_d"]
+            or u_pad < u
+            or n_pad < n + 1
+            or ud_b < ud
+        ):
+            return None
     packed_pad = np.empty((n_pad + 1, 4), np.float32)
     packed_pad[: n + 1] = packed
     packed_pad[n + 1 :, :3] = _BIG
     packed_pad[n + 1 :, 3] = np.int32(-1).view(np.float32)
-    ud_b = _bucket_rows(ud)
 
     def pad1(a, length, value):
         out = np.full((length,), value, a.dtype)

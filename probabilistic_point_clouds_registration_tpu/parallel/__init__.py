@@ -19,6 +19,14 @@ from .grid_sharded import (
     make_sharded_grid_registration_step,
     merge_topk,
 )
+from .pool_sharded import (
+    ShardedPoolPlan,
+    ShardedPools,
+    ShardedPoolStepResult,
+    build_sharded_pool_host,
+    build_sharded_pools_device,
+    make_sharded_pool_registration_step,
+)
 from .search import local_topk_merge, make_target_sharded_search
 
 __all__ = [
@@ -38,4 +46,10 @@ __all__ = [
     "build_sharded_grid_host",
     "make_sharded_grid_registration_step",
     "merge_topk",
+    "ShardedPoolPlan",
+    "ShardedPools",
+    "ShardedPoolStepResult",
+    "build_sharded_pool_host",
+    "build_sharded_pools_device",
+    "make_sharded_pool_registration_step",
 ]
