@@ -159,3 +159,91 @@ def test_trace_inner_diagnostics(capsys):
         r"(?:accepted|rejected)", out
     )
     assert len(rows) >= 2, out[-2000:]
+
+
+def test_chunked_convergence_matches_single_step():
+    """The device-side stopping rule (_scan_convergence) must stop exactly
+    where the single-step host loop stops: same record count, same
+    trajectory, same CSV rows — at the reference's default cost-drop rule
+    (cc:138-158), not the fixed-iteration bench mode."""
+    source, target, _ = _pair()
+    base = dict(
+        dof=5.0, radius=3.0, max_neighbours=10, n_iter=50,
+        cost_drop_thresh=0.01, n_cost_drop_it=3, dtype="float64",
+        pad_multiple=64, summary=True,
+    )
+    reg_1 = ProbabilisticRegistration(
+        source, target, RegistrationParams(outer_chunk=1, **base)
+    )
+    reg_1.align()
+    reg_c = ProbabilisticRegistration(
+        source, target, RegistrationParams(outer_chunk=16, **base)
+    )
+    reg_c.align()
+
+    # Converged well before n_iter (the rule actually fired mid-chunk) and
+    # produced the identical per-iteration history.
+    assert reg_1.current_iteration < 50
+    assert reg_c.current_iteration == reg_1.current_iteration
+    assert len(reg_c.records) == len(reg_1.records)
+    np.testing.assert_allclose(
+        reg_c.transformation(), reg_1.transformation(), rtol=0, atol=1e-9
+    )
+    for r1, rc in zip(reg_1.records, reg_c.records):
+        assert rc.iteration == r1.iteration
+        assert rc.num_correspondences == r1.num_correspondences
+        np.testing.assert_allclose(rc.translation, r1.translation, atol=1e-9)
+        np.testing.assert_allclose(
+            rc.final_cost, r1.final_cost, rtol=1e-9, atol=1e-12
+        )
+
+
+def test_trace_inner_on_chunked_path(capsys):
+    """trace_inner must stream per-LM rows from the CHUNKED scan path too —
+    diagnostics no longer force the slow single-step engine (round-2
+    VERDICT item #7; reference analogue cc:108)."""
+    import re
+
+    rng = np.random.default_rng(3)
+    tgt = rng.uniform(0, 4, size=(400, 3)).astype(np.float32)
+    src = tgt + np.array([0.05, -0.03, 0.02], dtype=np.float32)
+    p = RegistrationParams(
+        max_neighbours=5, radius=0.6, n_iter=4, cost_drop_thresh=-1.0,
+        dof=5.0, dtype="float32", verbose=True, trace_inner=True,
+        outer_chunk=4,
+    )
+    final, reg = register_pair(src, tgt, p)
+    out = capsys.readouterr().out
+    rows = re.findall(
+        r"lm_iter \d+: cost=\S+ step_quality=\S+ trust_radius=\S+ "
+        r"(?:accepted|rejected)", out
+    )
+    assert len(rows) >= 4, out[-2000:]
+    # All four outer iterations ran through the chunked path in one call.
+    assert reg.current_iteration == 4
+
+
+def test_trace_inner_on_pooled_engine(capsys):
+    """trace_inner composes with the pooled Pallas engine (interpret on
+    CPU): per-LM rows stream out of the scan without disabling the
+    engine."""
+    import re
+
+    rng = np.random.default_rng(5)
+    tgt = rng.uniform(0, 20, size=(2000, 3))
+    tgt[:, 2] = rng.normal(scale=0.3, size=2000)
+    src = tgt + np.array([0.1, -0.05, 0.02])
+    p = RegistrationParams(
+        max_neighbours=8, radius=0.7, n_iter=3, cost_drop_thresh=-1.0,
+        dof=5.0, dtype="float32", verbose=True, trace_inner=True,
+        outer_chunk=3, search_impl="pool", pad_multiple=128,
+    )
+    reg = ProbabilisticRegistration(
+        src.astype(np.float32), tgt.astype(np.float32), p
+    )
+    assert reg._pool is not None, "fixture must engage the pooled engine"
+    reg.align()
+    assert reg._pool is not None, "trace_inner must not disable the engine"
+    out = capsys.readouterr().out
+    rows = re.findall(r"lm_iter \d+: cost=\S+", out)
+    assert len(rows) >= 3, out[-2000:]
