@@ -85,7 +85,8 @@ def main():
             "unit": "s",
             "points": args.points,
             "outer_iterations": args.iters,
-            "capacity": reg._grid.capacity if reg._grid is not None else 0,
+            "capacity": (reg._grid.capacity if reg._grid is not None
+                         else (reg._grid_host or {}).get("capacity", 0)),
             "engine": "fused" if reg._prepack is not None
             else ("pool" if reg._pool is not None
                   else ("grid" if reg._grid is not None else "brute")),

@@ -789,70 +789,33 @@ class ProbabilisticRegistration:
             "tgt_valid": np.arange(tg.shape[0]) < self._n_tgt,
         }
 
-        # Target hash grid, built once per pair (search_impl
-        # "auto"/"grid"/"fused"; possibly prebuilt on a prefetch thread);
-        # None keeps the brute-force streaming engine.
-        grid = prepared_target["grid"]
-        if grid is not None:
-            if (
-                grid is not None
-                and params.search_impl == "auto"
-                and 27 * grid["capacity"] * 8 > self._n_tgt
-            ):
-                # Candidate set too close to M: the streaming brute-force
-                # engine's MXU distance tiles beat the grid's random gathers
-                # at this density (measured ~12x per-candidate cost ratio).
-                grid = None
-            if grid is not None:
-                bundle["grid"] = {
-                    k: v for k, v in grid.items() if isinstance(v, np.ndarray)
-                }
-                bundle["grid"]["bucket_pts"] = grid["bucket_pts"].astype(np_dtype)
-                bundle["grid"]["origin"] = grid["origin"].astype(np_dtype)
-                if "overflow_pts" in grid:
-                    bundle["grid"]["overflow_pts"] = grid["overflow_pts"].astype(
-                        np_dtype
-                    )
-
         dev = jax.device_put(bundle)
         self._filtered_src_dev = dev["src"]
         self._target_dev = dev["tgt"]
         self._src_valid = dev["src_valid"]
         self._tgt_valid = dev["tgt_valid"]
+
+        # Target hash grid, built once per pair (search_impl
+        # "auto"/"grid"/"fused"; possibly prebuilt on a prefetch thread);
+        # None keeps the brute-force streaming engine.
+        grid = prepared_target["grid"]
+        if (
+            grid is not None
+            and params.search_impl == "auto"
+            and 27 * grid["capacity"] * 8 > self._n_tgt
+        ):
+            # Candidate set too close to M: the streaming brute-force
+            # engine's MXU distance tiles beat the grid's random gathers
+            # at this density (measured ~12x per-candidate cost ratio).
+            grid = None
         self._grid = None
-        if grid is not None:
-            from ..ops.grid import HashGrid
+        self._grid_host = grid
 
-            g = dev["grid"]
-            self._grid = HashGrid(
-                bucket_pts=g["bucket_pts"],
-                bucket_idx=g["bucket_idx"],
-                cell_ids=g["cell_ids"],
-                capacity=grid["capacity"],
-                origin=g["origin"],
-                dims=g["dims"],
-                cell_size=grid["cell_size"],
-                num_valid=grid["num_valid"],
-                lut=g.get("lut"),
-                overflow_pts=g.get("overflow_pts"),
-                overflow_idx=g.get("overflow_idx"),
-            )
-            if self._grid.overflow_pts is not None:
-                self._ov_pts = self._grid.overflow_pts
-                self._ov_idx = self._grid.overflow_idx
-            else:
-                self._ov_pts = jnp.zeros((0, 3), self.dtype)
-                self._ov_idx = jnp.zeros((0,), jnp.int32)
-            n_over = self._ov_pts.shape[0]
-            self.out << (
-                f"Target grid: {self._grid.cell_ids.shape[0]} occupied cells, "
-                f"capacity {self._grid.capacity}, overflow {n_over}\n"
-            )
-
-        # Fused grouped Pallas engine (ops/fused_grid.py): dense scans on TPU.
-        # Gated on the group-padding fit estimated from target occupancy (the
-        # source distribution tracks the target's for overlapping scans); a
-        # runtime overflow flag falls back to the XLA grid engine mid-pair.
+        # Engine selection BEFORE the grid upload: when the pooled engine
+        # takes the pair, the XLA grid's bucket tensors (164 MB at KITTI
+        # scale — ~2 s on the tunneled link) are dead weight it never
+        # reads; they upload LAZILY only if the runtime budget flag ever
+        # forces the mid-pair fallback (_ensure_grid_device).
         self._prepack = None
         self._pool = None
         self._fused_interpret = False
@@ -904,7 +867,8 @@ class ProbabilisticRegistration:
                     # (explicit "fused" skips the fit estimate; the runtime
                     # overflow flag still protects correctness).
                     pre = _fg.build_prepack(
-                        grid, self._grid, k=params.max_neighbours
+                        grid, self._ensure_grid_device(),
+                        k=params.max_neighbours,
                     )
                     if pre is not None:
                         self._prepack = pre
@@ -913,6 +877,8 @@ class ProbabilisticRegistration:
                             f"Fused engine: {pre.n_dilated} dilated cells, "
                             f"{pre.n_lanes} candidate lanes\n"
                         )
+        if self._pool is None and grid is not None:
+            self._ensure_grid_device()
 
         self._lm_config = LMConfig(
             dof=params.dof,
@@ -937,6 +903,52 @@ class ProbabilisticRegistration:
         self.num_unuseful_iter = 0
         self.mse_prev_it = 0.0
         self._prev_source = self.source_cloud.copy() if params.summary else None
+
+    def _ensure_grid_device(self):
+        """Materialize the XLA hash grid on device (one batched device_put).
+
+        Pooled-engine pairs defer this: the bucket tensors are ~164 MB at
+        KITTI scale and the pooled path never reads them — only the
+        mid-pair budget-overflow fallback does, and that is the rare path.
+        Idempotent; returns the HashGrid (or None when no grid exists).
+        """
+        if self._grid is not None or self._grid_host is None:
+            return self._grid
+        from ..ops.grid import HashGrid
+
+        grid = self._grid_host
+        np_dtype = np.dtype(self.params.dtype)
+        host = {k: v for k, v in grid.items() if isinstance(v, np.ndarray)}
+        host["bucket_pts"] = grid["bucket_pts"].astype(np_dtype)
+        host["origin"] = grid["origin"].astype(np_dtype)
+        if "overflow_pts" in grid:
+            host["overflow_pts"] = grid["overflow_pts"].astype(np_dtype)
+        g = jax.device_put(host)
+        self._grid = HashGrid(
+            bucket_pts=g["bucket_pts"],
+            bucket_idx=g["bucket_idx"],
+            cell_ids=g["cell_ids"],
+            capacity=grid["capacity"],
+            origin=g["origin"],
+            dims=g["dims"],
+            cell_size=grid["cell_size"],
+            num_valid=grid["num_valid"],
+            lut=g.get("lut"),
+            overflow_pts=g.get("overflow_pts"),
+            overflow_idx=g.get("overflow_idx"),
+        )
+        if self._grid.overflow_pts is not None:
+            self._ov_pts = self._grid.overflow_pts
+            self._ov_idx = self._grid.overflow_idx
+        else:
+            self._ov_pts = jnp.zeros((0, 3), self.dtype)
+            self._ov_idx = jnp.zeros((0,), jnp.int32)
+        self.out << (
+            f"Target grid: {self._grid.cell_ids.shape[0]} occupied cells, "
+            f"capacity {self._grid.capacity}, overflow "
+            f"{self._ov_pts.shape[0]}\n"
+        )
+        return self._grid
 
     # -- reference API ------------------------------------------------------
 
@@ -1190,8 +1202,10 @@ class ProbabilisticRegistration:
                 if int(np.sum(ovf)) > 0:
                     # A row or class-prefix budget overflowed: no results
                     # were consumed — redo this chunk (and the rest of the
-                    # pair) on the XLA grid engine.
+                    # pair) on the XLA grid engine (uploaded lazily: pooled
+                    # pairs skip the ~164 MB bucket tensors at ctor time).
                     self._pool = None
+                    self._ensure_grid_device()
                     self.out << (
                         "Pooled-engine budget overflow; falling back to the "
                         "XLA grid engine for this pair\n"

@@ -268,7 +268,10 @@ def test_pooled_budget_overflow_falls_back_to_grid_mid_pair():
         src.astype(np.float32), tgt.astype(np.float32),
         RegistrationParams(search_impl="pool", **base),
     )
-    assert reg._pool is not None and reg._grid is not None
+    # The grid is deliberately NOT on device while the pooled engine holds
+    # the pair (lazy fallback upload); the host arrays must be retained.
+    assert reg._pool is not None and reg._grid is None
+    assert reg._grid_host is not None
     # Strangle the dominant class's group-prefix budget so the REAL
     # coverage flag fires on the first chunk (the same flag a
     # pathologically scattered source cloud raises): this fixture groups
@@ -280,6 +283,7 @@ def test_pooled_budget_overflow_falls_back_to_grid_mid_pair():
     )
     reg.align()
     assert reg._pool is None, "overflow must drop the pooled engine"
+    assert reg._grid is not None, "fallback must materialize the grid"
     assert reg.current_iteration == 4
 
     ref = ProbabilisticRegistration(
