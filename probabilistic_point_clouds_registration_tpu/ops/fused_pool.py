@@ -584,6 +584,57 @@ def plan_pool_host(
     }
 
 
+def plan_pool_host_group(grids: list, targets: list) -> list | None:
+    """Plan several scans with ONE shared static geometry.
+
+    SPMD and vmap consumers (parallel/pool_sharded.py target shards,
+    parallel/batch.py pair batches) need every member to share the class
+    ladder, padded class sizes, scatter-table sizes, and upload shapes so
+    a single compiled program serves all of them. Two passes: self-keyed
+    plans, then re-planning with ``force`` statics taken as maxima over
+    the group. Returns the aligned plans, or None when any member declines
+    the pooled engine (callers fall back to the XLA grid engine).
+    """
+    plans = []
+    for g, t in zip(grids, targets):
+        p = plan_pool_host(g, t)
+        if p is None:
+            return None
+        plans.append(p)
+    ladder = sorted({w for p in plans for w in p["widths"]}, reverse=True)
+    real = np.zeros((len(plans), len(ladder)), np.int64)
+    for i, p in enumerate(plans):
+        ends = _ladder_ends(p["dil"]["union"], ladder)
+        if ends is None:
+            return None
+        real[i] = np.diff([0] + ends)
+    force = {
+        "widths": tuple(ladder),
+        "pad_sizes": tuple(
+            int(
+                _bucket_rows(
+                    int(real[:, c].max()), max(64, (1 << 20) // (16 * w))
+                )
+            )
+            for c, w in enumerate(ladder)
+        ),
+        "prod_d_pad": max(_pow2(p["dil"]["prod_d"]) for p in plans),
+        "prod_e_pad": max(_pow2(p["dil"]["prod_e"]) for p in plans),
+        "u_pad": max(
+            _bucket_rows(int(p["dil"]["base_e"].shape[0])) for p in plans
+        ),
+        "n_pad": max(p["packed"].shape[0] - 1 for p in plans),
+        "ud_b": max(p["row_vals"].shape[0] for p in plans),
+    }
+    out = []
+    for g, t in zip(grids, targets):
+        p2 = plan_pool_host(g, t, force=force)
+        if p2 is None:  # cannot happen by construction; belt and braces
+            return None
+        out.append(p2)
+    return out
+
+
 def build_pool_prepack(
     grid_host: dict,
     target: np.ndarray,

@@ -47,12 +47,19 @@ class BatchedPairResult(NamedTuple):
     final_costs: jnp.ndarray  # (B, n_outer)
     num_correspondences: jnp.ndarray  # (B, n_outer)
     num_iterations: jnp.ndarray  # (B,) outer iterations actually executed
+    # (B,) pooled-engine budget overflow count. From
+    # batched_pair_register_pool directly: nonzero pairs' results are
+    # INVALID and must be redone on the grid engine. From
+    # run_odometry_batched: the redo already happened — nonzero just marks
+    # which pairs the grid engine recomputed (results valid). Always 0 for
+    # the brute/grid engines.
+    overflow: jnp.ndarray | None = None
 
 
 def _outer_loop(search_fn, src, sv, q0, t0, lm_config, n_outer,
                 cost_drop_thresh, n_cost_drop_it, dtype):
     """Per-pair outer loop with the reference's convergence rule as carried
-    state. ``search_fn(moved) -> (neighbor_pts, mask, n_corr)``."""
+    state. ``search_fn(moved) -> (neighbor_pts, mask, n_corr, overflow)``."""
     thresh = jnp.asarray(cost_drop_thresh, dtype)
 
     def cond(s):
@@ -67,7 +74,7 @@ def _outer_loop(search_fn, src, sv, q0, t0, lm_config, n_outer,
         unuseful = jnp.where(low, s["unuseful"] + 1, 0)
 
         moved = quat_rotate(s["q"], src) + s["t"]
-        pts, mask, n_corr = search_fn(moved)
+        pts, mask, n_corr, ovf = search_fn(moved)
         res = em_lm_solve(moved, pts, mask, q0, t0, lm_config)
         qn = quat_normalize(res.q)
         q_new = quat_multiply(qn, s["q"])
@@ -96,6 +103,7 @@ def _outer_loop(search_fn, src, sv, q0, t0, lm_config, n_outer,
             "ic": upd(s["ic"], res.initial_cost),
             "fc": upd(s["fc"], res.final_cost),
             "nc": upd(s["nc"], n_corr),
+            "ovf": s["ovf"] + jnp.where(keep, ovf.astype(jnp.int32), 0),
         }
 
     init = {
@@ -108,9 +116,10 @@ def _outer_loop(search_fn, src, sv, q0, t0, lm_config, n_outer,
         "ic": jnp.zeros((n_outer,), dtype),
         "fc": jnp.zeros((n_outer,), dtype),
         "nc": jnp.zeros((n_outer,), jnp.int32),
+        "ovf": jnp.int32(0),
     }
     s = lax.while_loop(cond, body, init)
-    return s["q"], s["t"], s["ic"], s["fc"], s["nc"], s["it"]
+    return s["q"], s["t"], s["ic"], s["fc"], s["nc"], s["it"], s["ovf"]
 
 
 @partial(
@@ -151,17 +160,17 @@ def batched_pair_register(
                 target_valid=tv, source_tile=source_tile,
                 target_tile=target_tile,
             )
-            return tgt[corr.indices], corr.mask, jnp.sum(corr.mask)
+            return tgt[corr.indices], corr.mask, jnp.sum(corr.mask), jnp.int32(0)
 
         return _outer_loop(search, src, sv, q0, t0, lm_config, n_outer,
                            cost_drop_thresh, n_cost_drop_it, dtype)
 
-    q, t, ic, fc, nc, it = jax.vmap(one_pair)(
+    q, t, ic, fc, nc, it, ovf = jax.vmap(one_pair)(
         sources, targets, source_valid, target_valid
     )
     return BatchedPairResult(
         q=q, t=t, initial_costs=ic, final_costs=fc, num_correspondences=nc,
-        num_iterations=it,
+        num_iterations=it, overflow=ovf,
     )
 
 
@@ -208,18 +217,89 @@ def batched_pair_register_grid(
                 k=k, radius=radius, capacity=capacity, source_valid=sv,
                 source_tile=source_tile,
             )
-            return tgt[corr.indices], corr.mask, jnp.sum(corr.mask)
+            return tgt[corr.indices], corr.mask, jnp.sum(corr.mask), jnp.int32(0)
 
         return _outer_loop(search, src, sv, q0, t0, lm_config, n_outer,
                            cost_drop_thresh, n_cost_drop_it, dtype)
 
-    q, t, ic, fc, nc, it = jax.vmap(one_pair)(
+    q, t, ic, fc, nc, it, ovf = jax.vmap(one_pair)(
         sources, targets, source_valid, bucket_pts, bucket_idx, luts, origins,
         dims,
     )
     return BatchedPairResult(
         q=q, t=t, initial_costs=ic, final_costs=fc, num_correspondences=nc,
-        num_iterations=it,
+        num_iterations=it, overflow=ovf,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "k", "radius", "lm_config", "n_outer", "class_widths", "class_ends",
+        "class_budgets", "budget_rows", "interpret", "dyn_rounds",
+        "select_max_w", "cost_drop_thresh", "n_cost_drop_it",
+    ),
+)
+def batched_pair_register_pool(
+    sources: jnp.ndarray,  # (B, N, 3)
+    source_valid: jnp.ndarray,  # (B, N)
+    pool_xyz: tuple,  # per class: (B, n_c + 1, 3, W_c)
+    pool_idx: tuple,  # per class: (B, n_c + 1, W_c)
+    width_lut: jnp.ndarray,  # (B, UD_pad + 1)
+    union_lut: jnp.ndarray,
+    lut_d: jnp.ndarray,  # (B, prod_d_pad)
+    origin_d: jnp.ndarray,  # (B, 3)
+    dims_d: jnp.ndarray,  # (B, 3)
+    *,
+    k: int,
+    radius: float,
+    lm_config: LMConfig,
+    n_outer: int,
+    class_widths: tuple,
+    class_ends: tuple,
+    class_budgets: tuple,
+    budget_rows: int,
+    interpret: bool = False,
+    dyn_rounds: bool = False,
+    select_max_w: int | None = None,
+    cost_drop_thresh: float = -1.0,
+    n_cost_drop_it: int = 5,
+) -> BatchedPairResult:
+    """Batched registration with per-pair capacity-free POOLED prepacks —
+    the flagship Pallas engine (ops/fused_pool.py), batch-harmonized to one
+    static geometry (plan_pool_host_group) so every pair shares one
+    program; the select kernel is vmapped over the batch. The kernel emits
+    the selected neighbors' coordinates, so no per-pair target cloud is
+    consulted inside the loop at all. Pairs whose runtime budget flag fires
+    report ``overflow > 0`` and must be redone on the grid engine."""
+    from ..ops.fused_pool import fused_pool_search
+
+    dtype = sources.dtype
+    q0 = jnp.array([1.0, 0.0, 0.0, 0.0], dtype)
+    t0 = jnp.zeros((3,), dtype)
+
+    def one_pair(src, sv, pxyz, pidx, wl, ul, ld, od, dd):
+        def search(moved):
+            corr, overflow, pts = fused_pool_search(
+                moved, sv, pxyz, pidx, wl, ul, ld, od, dd,
+                k=k, radius=radius, class_widths=class_widths,
+                class_ends=class_ends, class_budgets=class_budgets,
+                budget_rows=budget_rows, interpret=interpret,
+                return_points=True, dyn_rounds=dyn_rounds,
+                select_max_w=select_max_w,
+            )
+            return pts, corr.mask, jnp.sum(corr.mask), overflow
+
+        return _outer_loop(search, src, sv, q0, t0, lm_config, n_outer,
+                           cost_drop_thresh, n_cost_drop_it, dtype)
+
+    q, t, ic, fc, nc, it, ovf = jax.vmap(one_pair)(
+        sources, source_valid, pool_xyz, pool_idx, width_lut, union_lut,
+        lut_d, origin_d, dims_d,
+    )
+    return BatchedPairResult(
+        q=q, t=t, initial_costs=ic, final_costs=fc, num_correspondences=nc,
+        num_iterations=it, overflow=ovf,
     )
 
 
@@ -267,6 +347,69 @@ def _batched_grids_host(stack, counts, idx_tgt, radius):
     return bp, bi, luts, origins, dims, cap
 
 
+def _batched_pools_host(stack, counts, idx_tgt, radius, k, dtype):
+    """Per-pair POOLED prepacks harmonized to one static geometry
+    (ops.fused_pool.plan_pool_host_group), stacked on the batch axis.
+
+    Returns None when any pair declines the pooled engine — callers fall
+    back to the batched grid engine.
+    """
+    from ..ops import fused_pool as _fp
+    from ..ops.grid import build_grid_host
+
+    uniq_ids = sorted({int(i) for i in idx_tgt})
+    grids = {}
+    for i in uniq_ids:
+        g = build_grid_host(stack[i], radius, num_valid=int(counts[i]))
+        if g is None:
+            return None
+        grids[i] = g
+    plans = _fp.plan_pool_host_group(
+        [grids[i] for i in uniq_ids], [stack[i] for i in uniq_ids]
+    )
+    if plans is None:
+        return None
+    np_dtype = np.dtype(dtype)
+    pres = {}
+    for i, plan in zip(uniq_ids, plans):
+        pre = _fp.build_pool_prepack(
+            grids[i], stack[i], dtype=np_dtype, plan=plan, k=k
+        )
+        if pre is None:
+            return None
+        pres[i] = pre
+
+    first = pres[uniq_ids[0]]
+    n_classes = len(first.class_widths)
+    rows = [pres[int(i)] for i in idx_tgt]
+    pool_xyz = tuple(
+        jnp.stack([r.pool_xyz[c] for r in rows]) for c in range(n_classes)
+    )
+    pool_idx = tuple(
+        jnp.stack([r.pool_idx[c] for r in rows]) for c in range(n_classes)
+    )
+    smw = _fp._select_max_w()
+    all_unions = np.concatenate([p["dil"]["union"] for p in plans])
+    return {
+        "pool_xyz": pool_xyz,
+        "pool_idx": pool_idx,
+        "width_lut": jnp.stack([r.width_lut for r in rows]),
+        "union_lut": jnp.stack([r.union_lut for r in rows]),
+        "lut_d": jnp.stack([r.lut_d for r in rows]),
+        "origin_d": jnp.stack([r.origin_d for r in rows]),
+        "dims_d": jnp.stack([r.dims_d for r in rows]),
+        "class_widths": first.class_widths,
+        "class_ends": first.class_ends,
+        "class_budgets": tuple(
+            int(max(pres[i].class_budgets[c] for i in uniq_ids))
+            for c in range(n_classes)
+        ),
+        "budget_rows": max(int(pres[i].budget_rows) for i in uniq_ids),
+        "small_unions": _fp._small_unions(all_unions[all_unions > smw], k),
+        "select_max_w": smw,
+    }
+
+
 def run_odometry_batched(
     scans,
     *,
@@ -287,8 +430,10 @@ def run_odometry_batched(
       scans: list of (n_i, 3) numpy arrays.
       mesh: when given, the pair axis is sharded over its "points" axis
         (pairs padded up to a multiple of the axis size with dummy entries).
-      search_impl: "auto" (grid when every pair supports it) | "grid" |
-        "brute".
+      search_impl: "auto" (POOLED Pallas engine on TPU when every pair
+        supports it, grid otherwise) | "pool" | "grid" | "brute". Pooled
+        pairs whose runtime budget flag fires are automatically redone on
+        the batched grid engine and spliced back.
       cost_drop_thresh / n_cost_drop_it: per-pair convergence rule
         (threshold < 0 = fixed n_outer iterations).
 
@@ -329,13 +474,85 @@ def run_odometry_batched(
     sv = jnp.asarray(row[None, :] < counts[idx_src, None])
     tv = jnp.asarray(row[None, :] < counts[idx_tgt, None])
 
-    grids = None
-    if search_impl in ("auto", "grid"):
-        grids = _batched_grids_host(stack, counts, idx_tgt, radius)
-        if grids is None and search_impl == "grid":
-            raise ValueError("grid engine requested but some pair has no grid")
+    on_tpu = jax.default_backend() == "tpu"
+    pools = None
+    if search_impl == "pool" or (search_impl == "auto" and on_tpu):
+        pools = _batched_pools_host(stack, counts, idx_tgt, radius, k, dtype)
+        if pools is None and search_impl == "pool":
+            raise ValueError(
+                "pool engine requested but some pair declines it"
+            )
+    if pools is not None:
+        from ..core.types import round_up
+        from ..ops.fused_grid import BLOCK_GROUPS, GROUP
 
-    if grids is not None:
+        n_rows = sources.shape[1]
+        budget = round_up(
+            max(pools["budget_rows"], n_rows + 4096), BLOCK_GROUPS * GROUP
+        )
+        budgets = pools["class_budgets"][:-1] + (budget // GROUP,)
+        arrays = (
+            sources, sv, pools["pool_xyz"], pools["pool_idx"],
+            pools["width_lut"], pools["union_lut"], pools["lut_d"],
+            pools["origin_d"], pools["dims_d"],
+        )
+        if mesh is not None:
+            arrays = shard_batch(arrays, mesh)
+        result = batched_pair_register_pool(
+            *arrays,
+            k=k, radius=radius, lm_config=lm_config, n_outer=n_outer,
+            class_widths=pools["class_widths"],
+            class_ends=pools["class_ends"], class_budgets=budgets,
+            budget_rows=budget, interpret=not on_tpu,
+            dyn_rounds=pools["small_unions"],
+            select_max_w=pools["select_max_w"],
+            cost_drop_thresh=cost_drop_thresh,
+            n_cost_drop_it=n_cost_drop_it,
+        )
+        bad = np.flatnonzero(np.asarray(result.overflow) > 0)
+        if bad.size:
+            # The runtime budget flag fired for these pairs — their results
+            # are invalid; redo them on the batched grid engine and splice
+            # (the batched analogue of the single-pair mid-pair fallback).
+            sub_tgt = idx_tgt[bad]
+            sub = _batched_grids_host(stack, counts, sub_tgt, radius)
+            if sub is None:
+                raise RuntimeError(
+                    "pooled budget overflow and no grid fallback available"
+                )
+            bp, bi, luts, origins, dims_, cap = sub
+            redo = batched_pair_register_grid(
+                jnp.asarray(stack[idx_src[bad]], dtype),
+                jnp.asarray(stack[sub_tgt], dtype),
+                jnp.asarray(row[None, :] < counts[idx_src[bad], None]),
+                jnp.asarray(bp, dtype), jnp.asarray(bi), jnp.asarray(luts),
+                jnp.asarray(origins, dtype), jnp.asarray(dims_),
+                k=k, radius=radius, lm_config=lm_config, n_outer=n_outer,
+                capacity=cap, cost_drop_thresh=cost_drop_thresh,
+                n_cost_drop_it=n_cost_drop_it,
+            )
+            merged = {}
+            for name in BatchedPairResult._fields:
+                if name == "overflow":
+                    # Keep the pooled flags: nonzero now reads as "this
+                    # pair was redone on the grid engine" (results valid).
+                    merged[name] = np.asarray(result.overflow)
+                    continue
+                full = np.array(getattr(result, name))  # writable copy
+                part = np.asarray(getattr(redo, name))
+                full[bad] = part
+                merged[name] = full
+            result = BatchedPairResult(**merged)
+    else:
+        grids = None
+        if search_impl in ("auto", "grid"):
+            grids = _batched_grids_host(stack, counts, idx_tgt, radius)
+            if grids is None and search_impl == "grid":
+                raise ValueError(
+                    "grid engine requested but some pair has no grid"
+                )
+
+    if pools is None and grids is not None:
         bp, bi, luts, origins, dims, cap = grids
         arrays = (
             sources, targets, sv,
@@ -350,7 +567,7 @@ def run_odometry_batched(
             capacity=cap, cost_drop_thresh=cost_drop_thresh,
             n_cost_drop_it=n_cost_drop_it,
         )
-    else:
+    elif pools is None:
         arrays = (sources, targets, sv, tv)
         if mesh is not None:
             arrays = shard_batch(arrays, mesh)

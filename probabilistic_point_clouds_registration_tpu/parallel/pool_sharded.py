@@ -42,7 +42,7 @@ import numpy as np
 from jax import lax
 
 from ..core.se3 import quat_rotate
-from ..core.types import bucket_rows as _bucket_rows, pow2 as _pow2, round_up
+from ..core.types import round_up
 from ..models.em_lm import LMConfig, LMResult, em_lm_solve
 from ..ops.fused_grid import BLOCK_GROUPS, GROUP
 from ..ops import fused_pool as _fp
@@ -96,47 +96,22 @@ def build_sharded_pool_host(
         return None
     rows_of = [np.arange(s, n, n_shards) for s in range(n_shards)]
 
-    grids, plans = [], []
+    grids = []
     for rows in rows_of:
         g = build_grid_host(target[rows], cell_size)
         if g is None:
             return None
-        p = _fp.plan_pool_host(g, target[rows])
-        if p is None:
-            return None
         grids.append(g)
-        plans.append(p)
-
-    # ---- Harmonize the static geometry across shards ----
-    # Ladder: the union of every shard's self-derived pow2 widths. Each
-    # shard's windows re-bin into it exactly (pure pow2 binning); classes a
-    # shard lacks become zero-size bands padded to the shared floor.
-    ladder = sorted({w for p in plans for w in p["widths"]}, reverse=True)
-    real_sizes = np.zeros((n_shards, len(ladder)), np.int64)
-    for s, p in enumerate(plans):
-        ends = _fp._ladder_ends(p["dil"]["union"], ladder)
-        if ends is None:
-            return None
-        real_sizes[s] = np.diff([0] + ends)
-    pad_sizes = tuple(
-        int(_bucket_rows(int(real_sizes[:, c].max()), max(64, (1 << 20) // (16 * w))))
-        for c, w in enumerate(ladder)
+    # Harmonized static geometry across shards: one class ladder, padded
+    # sizes / scatter tables / upload shapes as maxima over the group —
+    # classes a shard lacks become zero-size bands padded to the shared
+    # floor.
+    plans2 = _fp.plan_pool_host_group(
+        grids, [target[rows] for rows in rows_of]
     )
-    force = {
-        "widths": tuple(ladder),
-        "pad_sizes": pad_sizes,
-        "prod_d_pad": max(_pow2(p["dil"]["prod_d"]) for p in plans),
-        "prod_e_pad": max(_pow2(p["dil"]["prod_e"]) for p in plans),
-        "u_pad": max(_bucket_rows(int(p["dil"]["base_e"].shape[0])) for p in plans),
-        "n_pad": max(_bucket_rows(len(r) + 1) for r in rows_of),
-        "ud_b": max(_bucket_rows(int(p["dil"]["union"].shape[0])) for p in plans),
-    }
-
-    plans2 = []
-    for rows, g in zip(rows_of, grids):
-        p2 = _fp.plan_pool_host(g, target[rows], force=force)
-        if p2 is None:  # cannot happen by construction; belt and braces
-            return None
+    if plans2 is None:
+        return None
+    for rows, g, p2 in zip(rows_of, grids, plans2):
         # Globalize the packed payload ids: lane 3 of the cell-sorted packed
         # rows carries the ORIGINAL target row (bitcast int32); rewrite the
         # shard-local ids with this shard's global rows so per-shard search
@@ -146,7 +121,6 @@ def build_sharded_pool_host(
         p2["packed"][:n_s, 3] = (
             rows[order].astype(np.int32).view(np.float32)
         )
-        plans2.append(p2)
 
     seed_keys = (
         "packed", "cell_start", "cell_count", "base_e", "d_cells_e",
@@ -162,11 +136,12 @@ def build_sharded_pool_host(
     seeds["origin_d"] = np.stack([p["dil"]["origin_d"] for p in plans2])
 
     ends_pad = plans2[0]["ends"]
+    ladder = list(plans2[0]["widths"])
     plan_key = (
-        tuple(plans2[0]["widths"]),
+        tuple(ladder),
         tuple(ends_pad),
-        force["prod_d_pad"],
-        force["prod_e_pad"],
+        plans2[0]["prod_d_pad"],
+        plans2[0]["prod_e_pad"],
         "float32",
     )
     budgets = tuple(

