@@ -590,18 +590,27 @@ def _group_by_window(source, source_valid, lut_d, origin_d, dims_d, ud,
     row = jnp.where(row < 0, ud, row)  # no-neighbor sources -> dead window
 
     # 2. group same-cell sources into cell-pure GROUP-row blocks.
+    # Dead-window sources (provably zero neighbors: outside the dilated
+    # occupied set) are DROPPED from the grouping instead of packed into
+    # dead-window groups: at KITTI scale ~27% of moved sources land there
+    # and used to consume 36k of the 90k budget groups — pure pass
+    # overhead. They sort to the tail (ud is the max row), allocate no
+    # group, scatter nowhere (dst = s_pad is dropped), and _unsort_results
+    # maps them to mask=False — exactly the result the kernel's dead
+    # branch produced for them.
     order = jnp.argsort(row, stable=True)
     rs = row[order]
+    dead = rs == ud
     pos = jnp.arange(n, dtype=jnp.int32)
     starts = jnp.concatenate(
         [jnp.ones((1,), jnp.bool_), rs[1:] != rs[:-1]]
     )
     start_pos = lax.associative_scan(jnp.maximum, jnp.where(starts, pos, -1))
     local = pos - start_pos
-    gstart = starts | (local % GROUP == 0)
+    gstart = (starts | (local % GROUP == 0)) & jnp.logical_not(dead)
     gid = jnp.cumsum(gstart.astype(jnp.int32)) - 1
-    dst = gid * GROUP + local % GROUP
-    overflow = jnp.sum(jnp.where(dst >= s_pad, 1, 0))
+    dst = jnp.where(dead, s_pad, gid * GROUP + local % GROUP)
+    overflow = jnp.sum(jnp.where(dst >= s_pad, 1, 0)) - jnp.sum(dead)
 
     src_sorted = source[order]
     padded = jnp.zeros((s_pad, 4), dtype)
@@ -611,7 +620,11 @@ def _group_by_window(source, source_valid, lut_d, origin_d, dims_d, ud,
         ),
         mode="drop",
     )
-    step_rows = jnp.full((ng,), ud, jnp.int32).at[gid].set(rs, mode="drop")
+    step_rows = (
+        jnp.full((ng,), ud, jnp.int32)
+        .at[jnp.where(dead, ng, gid)]
+        .set(rs, mode="drop")
+    )
     return padded, step_rows, order, dst, overflow
 
 

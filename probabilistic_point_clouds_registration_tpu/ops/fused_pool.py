@@ -487,10 +487,13 @@ def plan_pool_host(
     union_lut_pad[row_vals] = dil["union_lut"][:ud]
 
     # Row budget: target occupancy predicts source grouping for overlapping
-    # scans; 1.6x margin + the runtime overflow flag covers drift.
+    # scans; 1.3x margin + the runtime overflow flag covers drift. (The
+    # margin was 1.6x when dead-window sources also consumed budget rows —
+    # _group_by_window now drops them, so the estimate tracks the real
+    # live-row need: KITTI measured 433k live rows vs est 450k.)
     est_rows = int((np.ceil(counts_full / GROUP) * GROUP).sum())
     budget_rows = round_up(
-        _bucket_rows(max(int(1.6 * est_rows), n)), BLOCK_GROUPS * GROUP
+        _bucket_rows(max(int(1.3 * est_rows), n)), 2 * BLOCK_GROUPS * GROUP
     )
     ng = budget_rows // GROUP
 
@@ -820,7 +823,10 @@ def fused_pool_search(
     n = source.shape[0]
     dtype = source.dtype
     ud = width_lut.shape[0] - 1
-    s_pad = round_up(budget_rows, BLOCK_GROUPS * GROUP)
+    # Rows padded to the LARGEST per-class block (narrow kernel classes run
+    # 32-group blocks — half the per-block fixed cost of the dominant pass;
+    # wide classes keep 16 to stay inside the VMEM stack budget).
+    s_pad = round_up(budget_rows, 2 * BLOCK_GROUPS * GROUP)
     ng = s_pad // GROUP
 
     padded, step_rows, order, dst, overflow = _group_by_window(
@@ -837,7 +843,19 @@ def fused_pool_search(
     for c, (w_c, e_c, b_c) in enumerate(
         zip(class_widths, class_ends, class_budgets)
     ):
-        b_c = min(round_up(b_c, BLOCK_GROUPS), ng)
+        # Narrow kernel classes (<= 256 lanes) run 32-group blocks: the
+        # dominant KITTI pass is per-block-overhead-heavy (trace: 18.6
+        # ms/iter over 5632 16-group blocks) and its VMEM footprint at
+        # these widths is small. The counted extraction loop keeps the
+        # live set bounded; the static unroll (dyn_rounds=False) keeps
+        # more rounds live on the Mosaic stack and OOMs at 32 groups, so
+        # it stays at 16.
+        bg = (
+            2 * BLOCK_GROUPS
+            if dyn_rounds and smw < w_c <= 256
+            else BLOCK_GROUPS
+        )
+        b_c = min(round_up(b_c, bg), ng)
         n_c = e_c - prev_end
         rows_c = step_rows[:b_c]
         in_class = (rows_c >= prev_end) & (rows_c < e_c)
@@ -852,13 +870,13 @@ def fused_pool_search(
         else:
             w_blk = jnp.max(
                 jnp.where(in_class, width_lut[rows_c], 0).reshape(
-                    b_c // BLOCK_GROUPS, BLOCK_GROUPS
+                    b_c // bg, bg
                 ),
                 axis=1,
             )
             u_blk = jnp.max(
                 jnp.where(in_class, union_lut[rows_c], 0).reshape(
-                    b_c // BLOCK_GROUPS, BLOCK_GROUPS
+                    b_c // bg, bg
                 ),
                 axis=1,
             )
@@ -866,6 +884,7 @@ def fused_pool_search(
                 padded[: b_c * GROUP], win_xyz, win_idx, w_blk, u_blk,
                 k=k, n_lanes=w_c, radius=radius, interpret=interpret,
                 return_points=return_points, dyn_rounds=dyn_rounds,
+                block_groups=bg,
             )
         sel = jnp.repeat(in_class[:, None], GROUP, axis=1).reshape(b_c * GROUP)[:, None]
         outd = outd.at[: b_c * GROUP].set(jnp.where(sel, res[0], outd[: b_c * GROUP]))

@@ -488,7 +488,7 @@ def run_odometry_batched(
 
         n_rows = sources.shape[1]
         budget = round_up(
-            max(pools["budget_rows"], n_rows + 4096), BLOCK_GROUPS * GROUP
+            max(pools["budget_rows"], n_rows + 4096), 2 * BLOCK_GROUPS * GROUP
         )
         budgets = pools["class_budgets"][:-1] + (budget // GROUP,)
         arrays = (

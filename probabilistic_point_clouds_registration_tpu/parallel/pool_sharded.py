@@ -278,7 +278,7 @@ def make_sharded_pool_registration_step(
     cfg = lm_config._replace(axis_name=POINTS_AXIS)
     budget = round_up(
         max(sp.budget_rows, 8 * source_rows_per_shard),
-        BLOCK_GROUPS * GROUP,
+        2 * BLOCK_GROUPS * GROUP,
     )
     ng = budget // GROUP
     # Mid-class prefix budgets were estimated for the shard's own target

@@ -217,7 +217,7 @@ def test_sharded_pool_sets_match_exactly():
     )
 
     budget = round_up(
-        max(sp.budget_rows, 8 * src_p.shape[0]), BLOCK_GROUPS * GROUP
+        max(sp.budget_rows, 8 * src_p.shape[0]), 2 * BLOCK_GROUPS * GROUP
     )
     scale = max(1, -(-budget // max(sp.budget_rows, 1)))
     budgets = tuple(
