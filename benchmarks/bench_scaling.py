@@ -156,9 +156,13 @@ def step_scaling(args):
     for d in sizes:
         mesh = make_mesh(n_points_shards=1, n_target_shards=d,
                          devices=jax.devices()[:d])
-        # Merge payload each device contributes per all-gather round:
-        # distances + indices + coordinates for N x k candidates.
-        payload_mb = fs.shape[0] * k * (4 + 4 + 12) * d / 1e6
+        # All-gather volume per merge round: every device contributes
+        # N x k x 20 B (distances + indices + coordinates); the gathered
+        # result each device holds is d x that. Both are emitted — the
+        # per-device contribution is what a ring all-gather sends per hop,
+        # the total is the conservative ICI bound used in docs/PERF.md.
+        contrib_mb = fs.shape[0] * k * (4 + 4 + 12) / 1e6
+        payload_mb = contrib_mb * d
 
         for engine in ("grid", "pool"):
             if engine == "grid":
@@ -212,7 +216,8 @@ def step_scaling(args):
                     "unit": "s",
                     "points": n,
                     "speedup_vs_1shard": round(base[key] / best, 3),
-                    "merge_payload_mb": round(payload_mb, 2),
+                    "merge_contrib_mb_per_device": round(contrib_mb, 2),
+                    "merge_allgather_total_mb": round(payload_mb, 2),
                     "backend": jax.default_backend(),
                 }
             )

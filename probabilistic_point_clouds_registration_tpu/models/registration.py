@@ -221,7 +221,16 @@ def _scan_convergence(compute, q_cum, t_cum, drop0, unuseful0, it0, *,
     identity-rotation zeros the host must skip.
     """
     dtype = q_cum.dtype
-    thresh = jnp.asarray(cost_drop_thresh, jnp.float32)
+    # Strictly-conservative threshold: the host rule divides f32 costs in
+    # python f64; the device divides in f32. A boundary drop must NEVER
+    # make the device stop where the host would continue (the host is the
+    # source of truth and non-executed slots have no results), so the
+    # device compares against thresh shifted DOWN by more than the f32
+    # representation/rounding slack — at worst it executes slots the host
+    # then discards (the pre-round-3 behavior for those slots).
+    thresh = jnp.float32(
+        cost_drop_thresh - max(abs(cost_drop_thresh), 1.0) * 1e-5
+    )
 
     def frozen(qc, tc):
         shapes = jax.eval_shape(compute, qc, tc)
@@ -1059,15 +1068,27 @@ class ProbabilisticRegistration:
         n_exec = max(1, int(np.sum(executed)))
         per_iter = (time.perf_counter() - iter_start) / n_exec
         for j in range(chunk):
+            unuseful_before = self.num_unuseful_iter
             if j > 0 and self.has_converged():
                 return True
             if not bool(executed[j]):
-                # The device rule fired where the host rule just did (same
-                # rule, same state). Reaching here with the host rule NOT
-                # fired would mean state divergence — stop consuming rather
-                # than fabricate rows (tests assert trajectory equality
-                # with the single-step path).
-                return True
+                if j == 0:
+                    # Device stopped at slot 0 where the host's loop-top
+                    # check said continue. Unreachable by construction (the
+                    # device threshold is strictly conservative) — fail
+                    # loudly rather than loop forever re-dispatching.
+                    raise RuntimeError(
+                        "device/host convergence rules diverged at a chunk "
+                        "boundary — report this as a bug"
+                    )
+                # The device's conservative rule stopped here; the host
+                # rule has not fired yet (boundary-value slack). Undo the
+                # stall-counter mutation of the check we just ran (the
+                # outer loop re-checks the SAME iteration before the next
+                # dispatch) and return not-converged — the slack costs one
+                # extra dispatch, never a wrong early termination.
+                self.num_unuseful_iter = unuseful_before
+                return False
             if self.params.trace_inner and traces.shape[1]:
                 self._print_lm_trace(traces[j], nits[j])
             self._process_iteration(
@@ -1151,8 +1172,13 @@ class ProbabilisticRegistration:
                 if int(np.sum(ovf)) > 0:
                     # Pathologically scattered sources blew the 2N group
                     # budget: no results were consumed — redo this chunk (and
-                    # the rest of the pair) on the XLA grid engine.
+                    # the rest of the pair) on the XLA grid engine. The
+                    # loop-top has_converged() already ran (mutating the
+                    # stall counter) for an iteration that now never
+                    # happened; restore the snapshot so the redo's check is
+                    # a replay, not a double increment.
                     self._prepack = None
+                    self.num_unuseful_iter = int(conv0[1])
                     self.out << (
                         "Fused-engine group overflow; falling back to the "
                         "XLA grid engine for this pair\n"
@@ -1204,8 +1230,12 @@ class ProbabilisticRegistration:
                     # were consumed — redo this chunk (and the rest of the
                     # pair) on the XLA grid engine (uploaded lazily: pooled
                     # pairs skip the ~164 MB bucket tensors at ctor time).
+                    # Restore the stall counter the loop-top has_converged()
+                    # mutated for the discarded iteration (see the fused
+                    # handler above).
                     self._pool = None
                     self._ensure_grid_device()
+                    self.num_unuseful_iter = int(conv0[1])
                     self.out << (
                         "Pooled-engine budget overflow; falling back to the "
                         "XLA grid engine for this pair\n"

@@ -470,9 +470,13 @@ def run_odometry_batched(
 
     row = np.arange(stack.shape[1])
     sources = jnp.asarray(stack[idx_src], dtype)
-    targets = jnp.asarray(stack[idx_tgt], dtype)
     sv = jnp.asarray(row[None, :] < counts[idx_src, None])
-    tv = jnp.asarray(row[None, :] < counts[idx_tgt, None])
+    # The (B, N, 3) target stack uploads only for the grid/brute engines —
+    # the pooled path's kernel emits the selected neighbors' coordinates
+    # and never reads the target clouds (GB-class dead upload at LiDAR
+    # batch scale otherwise; cf. the single-pair lazy grid upload).
+    mk_targets = lambda: jnp.asarray(stack[idx_tgt], dtype)
+    mk_tv = lambda: jnp.asarray(row[None, :] < counts[idx_tgt, None])
 
     on_tpu = jax.default_backend() == "tpu"
     pools = None
@@ -555,7 +559,7 @@ def run_odometry_batched(
     if pools is None and grids is not None:
         bp, bi, luts, origins, dims, cap = grids
         arrays = (
-            sources, targets, sv,
+            sources, mk_targets(), sv,
             jnp.asarray(bp, dtype), jnp.asarray(bi), jnp.asarray(luts),
             jnp.asarray(origins, dtype), jnp.asarray(dims),
         )
@@ -568,7 +572,7 @@ def run_odometry_batched(
             n_cost_drop_it=n_cost_drop_it,
         )
     elif pools is None:
-        arrays = (sources, targets, sv, tv)
+        arrays = (sources, mk_targets(), sv, mk_tv())
         if mesh is not None:
             arrays = shard_batch(arrays, mesh)
         result = batched_pair_register(

@@ -127,11 +127,8 @@ def build_sharded_pool_host(
         "off_e", "d_cells", "row_vals", "width_lut", "union_lut",
     )
     seeds = {
-        key: np.stack([p[key] if key in p else p["dil"][key] for p in plans2])
-        for key in seed_keys
-        if key not in ("off_e",)
+        key: np.stack([p[key] for p in plans2]) for key in seed_keys
     }
-    seeds["off_e"] = np.stack([p["off_e"] for p in plans2])
     seeds["dims_d"] = np.stack([p["dil"]["dims_d"] for p in plans2])
     seeds["origin_d"] = np.stack([p["dil"]["origin_d"] for p in plans2])
 
@@ -192,8 +189,12 @@ def build_sharded_pools_device(
     """
     P = jax.sharding.PartitionSpec
     t_spec = jax.sharding.NamedSharding(mesh, P(TARGETS_AXIS))
+    # width/union luts and geometry are consumed by the SEARCH, not the
+    # pool packing — upload them once below, not into the packing seeds.
     dev = {
-        key: jax.device_put(np.asarray(v), t_spec) for key, v in sp.seeds.items()
+        key: jax.device_put(np.asarray(v), t_spec)
+        for key, v in sp.seeds.items()
+        if key not in ("width_lut", "union_lut", "dims_d", "origin_d")
     }
     plan_key = sp.plan_key[:-1] + (np.dtype(dtype).name,)
 

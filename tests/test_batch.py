@@ -158,10 +158,10 @@ def test_batched_pool_overflow_redo_splices_grid_results():
     def strangled(*args, **kwargs):
         pools = real(*args, **kwargs)
         assert pools is not None
-        # Strangle the row budget so the REAL runtime flag fires for every
-        # pair (run_odometry_batched floors it at n_rows + 4096, so shrink
-        # through the class budgets instead: 0 coverage for every class
-        # but the last is impossible — use a tiny mid-class budget).
+        # Strangle every non-last class's group-prefix budget so the REAL
+        # runtime flag fires (the coverage check only exists for non-last
+        # classes — the fixture must produce >= 2).
+        assert len(pools["class_budgets"]) >= 2, pools["class_widths"]
         pools["class_budgets"] = (16,) * (len(pools["class_budgets"]) - 1) + (
             pools["class_budgets"][-1],
         )

@@ -249,19 +249,28 @@ def test_trace_inner_on_pooled_engine(capsys):
     assert len(rows) >= 3, out[-2000:]
 
 
-def test_pooled_budget_overflow_falls_back_to_grid_mid_pair():
+@pytest.mark.parametrize(
+    "thresh,n_drop",
+    [(-1.0, 5), (0.99, 3)],
+    ids=["fixed-iterations", "stall-rule"],
+)
+def test_pooled_budget_overflow_falls_back_to_grid_mid_pair(thresh, n_drop):
     """End-to-end coverage of the mid-pair engine fallback: when the pooled
     engine's runtime budget flag fires inside align(), the chunk is
     discarded and the pair redone on the XLA grid engine — the records and
     trajectory must be IDENTICAL to a forced-grid run (round-2 VERDICT
-    weakness #4)."""
+    weakness #4). The stall-rule variant guards the fallback's stall-counter
+    restore: the loop-top has_converged() mutates the counter for an
+    iteration the discarded chunk never produced, and without the restore
+    the fallback pair terminates one iteration early."""
     rng = np.random.default_rng(11)
     tgt = rng.uniform(0, 15, size=(2500, 3))
     tgt[:, 2] = rng.normal(scale=0.3, size=2500)
     src = tgt + np.array([0.1, -0.05, 0.02])
     base = dict(
-        max_neighbours=8, radius=0.7, n_iter=4, cost_drop_thresh=-1.0,
-        dof=5.0, dtype="float32", outer_chunk=4, pad_multiple=128,
+        max_neighbours=8, radius=0.7, n_iter=10, cost_drop_thresh=thresh,
+        n_cost_drop_it=n_drop, dof=5.0, dtype="float32", outer_chunk=4,
+        pad_multiple=128,
     )
 
     reg = ProbabilisticRegistration(
@@ -272,25 +281,26 @@ def test_pooled_budget_overflow_falls_back_to_grid_mid_pair():
     # the pair (lazy fallback upload); the host arrays must be retained.
     assert reg._pool is not None and reg._grid is None
     assert reg._grid_host is not None
-    # Strangle the dominant class's group-prefix budget so the REAL
+    # Strangle every non-last class's group-prefix budget so the REAL
     # coverage flag fires on the first chunk (the same flag a
-    # pathologically scattered source cloud raises): this fixture groups
-    # ~760 sources into class 1 (measured), so a 16-group budget misses
-    # most of them.
+    # pathologically scattered source cloud raises); the coverage check
+    # only exists for non-last classes, so the fixture must produce >= 2.
+    assert len(reg._pool.class_budgets) >= 2, reg._pool.class_widths
     reg._pool = reg._pool._replace(
-        class_budgets=(reg._pool.class_budgets[0], 16)
-        + reg._pool.class_budgets[2:]
+        class_budgets=(16,) * (len(reg._pool.class_budgets) - 1)
+        + (reg._pool.class_budgets[-1],)
     )
     reg.align()
     assert reg._pool is None, "overflow must drop the pooled engine"
     assert reg._grid is not None, "fallback must materialize the grid"
-    assert reg.current_iteration == 4
+    assert reg.current_iteration >= 1
 
     ref = ProbabilisticRegistration(
         src.astype(np.float32), tgt.astype(np.float32),
         RegistrationParams(search_impl="grid", **base),
     )
     ref.align()
+    assert reg.current_iteration == ref.current_iteration
     np.testing.assert_allclose(
         reg.transformation(), ref.transformation(), rtol=0, atol=0
     )
