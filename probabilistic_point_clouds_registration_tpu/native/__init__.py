@@ -70,6 +70,13 @@ def load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_double,
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int64),
         ]
+        lib.pcr_dilate_cells.restype = ctypes.c_int64
+        lib.pcr_dilate_cells.argtypes = [
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ]
         _lib = lib
         return _lib
 
@@ -109,6 +116,40 @@ def lzf_compress(data: bytes) -> Optional[bytes]:
     if size == 0:
         return None
     return out[:size].tobytes()
+
+
+def dilate_cells(
+    cell_ids: np.ndarray, dims: np.ndarray, counts: np.ndarray
+) -> Optional[tuple]:
+    """Native occupied-cell dilation (the per-pair prepack's host half).
+
+    Returns (d_cells_e, nrows, union) in stable descending-union order —
+    byte-identical to the numpy body of ops.fused_grid.dilate_cells_host —
+    or None when the library is unavailable or the grid exceeds the int32
+    id space (callers fall back to numpy).
+    """
+    lib = load()
+    if lib is None:
+        return None
+    ids = np.ascontiguousarray(cell_ids, dtype=np.int64)
+    dims64 = np.ascontiguousarray(dims, dtype=np.int64)
+    cnt = np.ascontiguousarray(counts, dtype=np.int32)
+    u = ids.shape[0]
+    prod_e = int((dims64 + 4).prod())
+    ud_cap = min(27 * u, prod_e)
+    # np.empty is virtual until touched; only the UD rows written get pages.
+    d_cells_e = np.empty(ud_cap, dtype=np.int32)
+    nrows = np.empty((ud_cap, 27), dtype=np.int32)
+    union = np.empty(ud_cap, dtype=np.int32)
+    p32 = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+    ud = lib.pcr_dilate_cells(
+        ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), u,
+        dims64.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), p32(cnt),
+        ud_cap, p32(d_cells_e), p32(nrows), p32(union),
+    )
+    if ud < 0:
+        return None
+    return d_cells_e[:ud].copy(), nrows[:ud].copy(), union[:ud].copy()
 
 
 def voxel_downsample(points: np.ndarray, leaf_size: float) -> Optional[np.ndarray]:

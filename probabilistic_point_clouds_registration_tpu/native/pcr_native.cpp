@@ -9,9 +9,11 @@
 //
 // Build: g++ -O3 -shared -fPIC -std=c++17 pcr_native.cpp -o libpcr_native.so
 
+#include <algorithm>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <numeric>
 #include <vector>
 
 extern "C" {
@@ -218,6 +220,85 @@ int64_t pcr_voxel_downsample(const double* pts, int64_t n, double leaf,
     ++w;
   }
   return n_cells;
+}
+
+// ---------------------------------------------------------------------------
+// Occupied-cell dilation for the fused search engines (the host half of the
+// per-pair prepack; replaces ops/fused_grid.dilate_cells_host's numpy body —
+// semantics identical, including the (x slowest, z fastest) 27-offset
+// enumeration that IS the engines' shared tie-break contract and the STABLE
+// descending-union window order).
+//
+// Inputs: the occupied cells' ORIGINAL linear ids (ascending), grid dims,
+// and per-cell candidate counts. Work runs in the double-extended (+4) grid
+// so no neighbor offset ever leaves bounds. Outputs (width-sorted, i.e.
+// stable-descending by candidate union): the dilated cells' double-extended
+// linear ids, the (UD, 27) occupied-row table (-1 = no occupied neighbor),
+// and the per-window candidate union.
+//
+// Returns UD (>= 0), or -1 when the extended grid exceeds the int32 id
+// space / -2 when the caller's capacity is too small.
+int64_t pcr_dilate_cells(const int64_t* cell_ids, int64_t u,
+                         const int64_t* dims, const int32_t* counts,
+                         int64_t ud_cap, int32_t* d_cells_e_out,
+                         int32_t* nrows_out, int32_t* union_out) {
+  const int64_t e0 = dims[0] + 4, e1 = dims[1] + 4, e2 = dims[2] + 4;
+  const int64_t prod_e = e0 * e1 * e2;
+  if (prod_e >= (int64_t(1) << 31)) return -1;
+
+  int64_t off[27];
+  int idx = 0;
+  for (int ox = -1; ox <= 1; ++ox)
+    for (int oy = -1; oy <= 1; ++oy)
+      for (int oz = -1; oz <= 1; ++oz)
+        off[idx++] = ox + e0 * (oy + e1 * int64_t(oz));
+
+  std::vector<uint8_t> flags(prod_e, 0);
+  std::vector<int32_t> lut_e(prod_e, -1);
+  for (int64_t i = 0; i < u; ++i) {
+    const int64_t c = cell_ids[i];
+    const int64_t x = c % dims[0];
+    const int64_t r = c / dims[0];
+    const int64_t y = r % dims[1];
+    const int64_t z = r / dims[1];
+    const int64_t b = (x + 2) + e0 * ((y + 2) + e1 * (z + 2));
+    lut_e[b] = int32_t(i);
+    for (int j = 0; j < 27; ++j) flags[b + off[j]] = 1;
+  }
+
+  std::vector<int32_t> dce;
+  dce.reserve(std::min<int64_t>(27 * u, prod_e));
+  for (int64_t p = 0; p < prod_e; ++p)
+    if (flags[p]) dce.push_back(int32_t(p));
+  const int64_t ud = int64_t(dce.size());
+  if (ud > ud_cap) return -2;
+
+  std::vector<int32_t> nr(size_t(ud) * 27);
+  std::vector<int32_t> un(ud);
+  for (int64_t d = 0; d < ud; ++d) {
+    int32_t s = 0;
+    for (int j = 0; j < 27; ++j) {
+      const int32_t row = lut_e[int64_t(dce[size_t(d)]) + off[j]];
+      nr[size_t(d) * 27 + j] = row;
+      if (row >= 0) s += counts[row];
+    }
+    un[size_t(d)] = s;
+  }
+
+  // Stable descending-union order == np.argsort(-union, kind="stable"):
+  // equal unions keep ascending dilated-cell-id order.
+  std::vector<int64_t> perm(ud);
+  std::iota(perm.begin(), perm.end(), int64_t(0));
+  std::stable_sort(perm.begin(), perm.end(),
+                   [&](int64_t a, int64_t b) { return un[a] > un[b]; });
+  for (int64_t d = 0; d < ud; ++d) {
+    const int64_t s = perm[size_t(d)];
+    d_cells_e_out[d] = dce[size_t(s)];
+    union_out[d] = un[size_t(s)];
+    std::memcpy(nrows_out + size_t(d) * 27, nr.data() + size_t(s) * 27,
+                27 * sizeof(int32_t));
+  }
+  return ud;
 }
 
 }  // extern "C"

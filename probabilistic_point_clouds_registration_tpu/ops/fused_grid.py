@@ -136,42 +136,59 @@ def dilate_cells_host(
     ox, oy, oz = np.meshgrid(*([np.arange(-1, 2, dtype=np.int32)] * 3), indexing="ij")
     off_e = (ox + e0 * (oy + e1 * oz)).reshape(27)
     base_e = (x + 2) + np.int32(e0) * ((y + 2) + np.int32(e1) * (z + 2))
-    dil_e = (base_e[:, None] + off_e[None, :]).reshape(-1)
-    # Dense-flag unique: O(prod_e + 27u) beats sorting 27u linear ids.
-    flags = np.zeros((prod_e,), dtype=bool)
-    flags[dil_e] = True
-    d_cells_e = np.flatnonzero(flags).astype(np.int32)
-    ud = d_cells_e.shape[0]
 
-    # Original-grid row of each of the 27 neighbors of each dilated cell:
-    # one gather through the extended occupied-cell LUT, no bounds math.
-    lut_e = np.full((prod_e,), -1, dtype=np.int32)
-    lut_e[base_e] = np.arange(u, dtype=np.int32)
-    nrows = lut_e[d_cells_e[:, None] + off_e[None, :]]
-
-    # Largest real candidate-union over all windows: the packed lane width.
-    # Typically ~5x smaller than 27*capacity (bunny 35k: 262 vs 1728) —
-    # occupancy variance means most bucket slots are padding, and the select
-    # kernel's extraction cost is proportional to lane width.
     if counts is None:
         counts = (grid_host["bucket_idx"] >= 0).sum(axis=1)
-    counts_pad = np.concatenate([counts[:u], [0]]).astype(np.int32)
-    union = counts_pad[np.where(nrows >= 0, nrows, u)].sum(
-        axis=1, dtype=np.int32
-    )
-    max_union = int(union.max()) if union.size else 0
 
-    # Renumber dilated rows by DESCENDING union width. Sources are grouped in
-    # row order every iteration, so this makes the group sequence
-    # width-monotone: each select-kernel block then runs at (roughly) its own
-    # real width instead of the global maximum — the per-block width
-    # predication in _select_kernel.
-    perm = np.argsort(-union, kind="stable").astype(np.int32)
-    nrows = nrows[perm]
-    union = union[perm]
-    # Dilated cell ids in the (+2) extended search grid (row j of the
-    # width-sorted numbering lives at extended-linear d_cells[j]).
-    d_cells_e = d_cells_e[perm]
+    # Native C++ dilation when available (the per-pair prepack's host half
+    # sits on the cold-pair critical path; the numpy body below is
+    # allocation-heavy — measured 0.9-4 s first-call-in-process at KITTI
+    # scale vs ~0.1 s native — and is kept as the always-works fallback and
+    # parity oracle, tests/test_native.py).
+    from .. import native as _native
+
+    nat = _native.dilate_cells(cell_ids, dims, counts[:u])
+    if nat is not None:
+        d_cells_e, nrows, union = nat
+        ud = d_cells_e.shape[0]
+        max_union = int(union.max()) if union.size else 0
+    else:
+        dil_e = (base_e[:, None] + off_e[None, :]).reshape(-1)
+        # Dense-flag unique: O(prod_e + 27u) beats sorting 27u linear ids.
+        flags = np.zeros((prod_e,), dtype=bool)
+        flags[dil_e] = True
+        d_cells_e = np.flatnonzero(flags).astype(np.int32)
+        ud = d_cells_e.shape[0]
+
+        # Original-grid row of each of the 27 neighbors of each dilated
+        # cell: one gather through the extended occupied-cell LUT, no
+        # bounds math.
+        lut_e = np.full((prod_e,), -1, dtype=np.int32)
+        lut_e[base_e] = np.arange(u, dtype=np.int32)
+        nrows = lut_e[d_cells_e[:, None] + off_e[None, :]]
+
+        # Largest real candidate-union over all windows: the packed lane
+        # width. Typically ~5x smaller than 27*capacity (bunny 35k: 262 vs
+        # 1728) — occupancy variance means most bucket slots are padding,
+        # and the select kernel's extraction cost is proportional to lane
+        # width.
+        counts_pad = np.concatenate([counts[:u], [0]]).astype(np.int32)
+        union = counts_pad[np.where(nrows >= 0, nrows, u)].sum(
+            axis=1, dtype=np.int32
+        )
+        max_union = int(union.max()) if union.size else 0
+
+        # Renumber dilated rows by DESCENDING union width. Sources are
+        # grouped in row order every iteration, so this makes the group
+        # sequence width-monotone: each select-kernel block then runs at
+        # (roughly) its own real width instead of the global maximum — the
+        # per-block width predication in _select_kernel.
+        perm = np.argsort(-union, kind="stable").astype(np.int32)
+        nrows = nrows[perm]
+        union = union[perm]
+        # Dilated cell ids in the (+2) extended search grid (row j of the
+        # width-sorted numbering lives at extended-linear d_cells[j]).
+        d_cells_e = d_cells_e[perm]
     xe = d_cells_e % e0
     re_ = d_cells_e // e0
     ye = re_ % e1

@@ -128,3 +128,57 @@ def test_pcd_binary_compressed_roundtrip_uses_native(tmp_path):
     save_pcd(str(p), pts, mode="binary_compressed")
     out = load_pcd(str(p))
     np.testing.assert_allclose(out, pts, atol=0)
+
+
+def test_native_dilate_cells_matches_numpy():
+    """The C++ dilation must be byte-identical to the numpy body of
+    dilate_cells_host (incl. the stable descending-union order and the
+    27-offset tie contract)."""
+    import numpy as np
+
+    import probabilistic_point_clouds_registration_tpu.native as native
+    from probabilistic_point_clouds_registration_tpu.io.synthetic import (
+        bunny_like,
+    )
+    from probabilistic_point_clouds_registration_tpu.ops.fused_grid import (
+        dilate_cells_host,
+    )
+    from probabilistic_point_clouds_registration_tpu.ops.grid import (
+        build_grid_host,
+    )
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+
+    for seed, n in ((0, 5000), (3, 2000)):
+        rng = np.random.default_rng(seed)
+        if seed:
+            tgt = rng.uniform(0, 12, size=(n, 3))
+            tgt[:, 2] = rng.normal(scale=0.4, size=n)  # sparse sheet
+        else:
+            tgt = bunny_like(n, seed=seed)
+        gh = build_grid_host(tgt, 0.35 if seed else 0.06)
+        assert gh is not None
+        counts = gh["cell_count"].astype(np.int64)
+
+        # Force the numpy fallback for the reference (dilate_cells_host
+        # dispatches to the native path when available).
+        saved = native.dilate_cells
+        try:
+            native.dilate_cells = lambda *a, **k: None
+            ref = dilate_cells_host(gh, counts=counts, dense_lut=False)
+        finally:
+            native.dilate_cells = saved
+        u = gh["num_cells"]
+        nat = native.dilate_cells(
+            gh["cell_ids"][:u].astype(np.int64),
+            gh["dims"].astype(np.int64),
+            counts[:u],
+        )
+        assert nat is not None
+        d_cells_e, nrows, union = nat
+        np.testing.assert_array_equal(d_cells_e, ref["d_cells_e"])
+        np.testing.assert_array_equal(nrows, ref["nrows"])
+        np.testing.assert_array_equal(union, ref["union"])
