@@ -220,12 +220,12 @@ def _build_pools(packed, cell_start, cell_count, base_e, d_cells_e, off_e,
 
     ``plan_key`` is the static pool geometry from :func:`plan_pool_host`:
     (pow2 class widths, bucket-padded class ends, pow2-padded prod_d /
-    prod_e, dtype name) — every element bucketed so consecutive scans of
-    similar geometry reuse this compile. Windows live in the PADDED
-    numbering (``row_vals``); class tails are dead rows. Returns
-    (pool_xyz tuple, pool_idx tuple, lut_d).
+    prod_e, dtype name, per-class build bands or None) — every element
+    bucketed so consecutive scans of similar geometry reuse this compile.
+    Windows live in the PADDED numbering (``row_vals``); class tails are
+    dead rows. Returns (pool_xyz tuple, pool_idx tuple, lut_d).
     """
-    widths, ends, prod_d, prod_e, dtype_name = plan_key
+    widths, ends, prod_d, prod_e, dtype_name, build_bands = plan_key
     dtype = jnp.dtype(dtype_name)
     ud_pad = ends[-1] if ends else 0
     lut_d = _scatter_lut(d_cells, row_vals, prod_d=prod_d)
@@ -239,26 +239,49 @@ def _build_pools(packed, cell_start, cell_count, base_e, d_cells_e, off_e,
     )
     pool_xyz, pool_idx = [], []
     prev = 0
-    for w_c, e_c in zip(widths, ends):
+    for c, (w_c, e_c) in enumerate(zip(widths, ends)):
         n_c = e_c - prev
-        block = _pool_block(n_c, w_c)
-        xyz, idx = _assemble_pool_class(
-            packed,
-            cell_start,
-            cell_count,
-            nrows_dev[prev:e_c],
-            w_c=w_c,
-            n_rows=round_up(n_c, block),
+        bands = (
+            build_bands[c]
+            if build_bands is not None
+            else ((w_c, n_c),)
         )
+        parts_xyz, parts_idx = [], []
+        prev_b = 0
+        for w_b, e_b in bands:
+            nb = e_b - prev_b
+            block = _pool_block(nb, w_b)
+            xyz, idx = _assemble_pool_class(
+                packed,
+                cell_start,
+                cell_count,
+                nrows_dev[prev + prev_b : prev + e_b],
+                w_c=w_b,
+                n_rows=round_up(nb, block),
+            )
+            # Pad lanes up to the class width (a band may be narrower:
+            # its windows' real pow2 width — the per-element pool gather
+            # then touches only ~live lanes).
+            parts_xyz.append(
+                jnp.pad(
+                    xyz.astype(dtype),
+                    ((0, 0), (0, 0), (0, w_c - w_b)),
+                    constant_values=jnp.asarray(_BIG, dtype),
+                )
+            )
+            parts_idx.append(
+                jnp.pad(idx, ((0, 0), (0, w_c - w_b)), constant_values=-1)
+            )
+            prev_b = e_b
         # Dead window (row n_c): constructed directly, nothing to gather.
         pool_xyz.append(
             jnp.concatenate(
-                [xyz.astype(dtype), jnp.full((1, 3, w_c), _BIG, dtype)], axis=0
+                parts_xyz + [jnp.full((1, 3, w_c), _BIG, dtype)], axis=0
             )
         )
         pool_idx.append(
             jnp.concatenate(
-                [idx, jnp.full((1, w_c), -1, jnp.int32)], axis=0
+                parts_idx + [jnp.full((1, w_c), -1, jnp.int32)], axis=0
             )
         )
         prev = e_c
@@ -475,6 +498,53 @@ def plan_pool_host(
     pool_bytes = sum((p + 1) * w * 16 for p, w in zip(pad_sizes, widths))
     if pool_bytes > MAX_POOL_BYTES:
         return None
+
+    # ---- Device-build BANDS: assemble each class at its windows' real
+    # pow2 widths (floor 8), padding lanes up to the class width afterward.
+    # The pool gather is per-ELEMENT (~8 ns each): a 128-lane class whose
+    # windows average union ~30 gathers 4-6x more dead lanes than live
+    # ones (KITTI: 33M lanes assembled, 5.4M at real pow2 widths —
+    # measured 321 ms of the 383 ms device build). Bands are (width,
+    # exclusive end) over the PADDED class rows, ends bucketed for compile
+    # stability; a band may extend into narrower windows (safe — assembly
+    # at a wider width only adds dead lanes), and the final band covers
+    # the dead tail at the narrowest width. Force-mode (harmonized SPMD)
+    # plans skip banding: their build key must be identical across group
+    # members, and the band structure is scan-dependent.
+    build_bands = None
+    if force is None:
+        w_fine = np.maximum(
+            8, 1 << np.ceil(np.log2(np.maximum(union, 1))).astype(np.int64)
+        )
+        build_bands = []
+        prev = 0
+        for w_c, e_c, p_c in zip(widths, ends, pad_sizes):
+            cls_w = np.minimum(w_fine[prev:e_c], w_c)
+            bands = []
+            s0 = 0
+            while s0 < e_c - prev:
+                wb = int(cls_w[s0])
+                s1 = int(np.searchsorted(-cls_w, -wb, side="right"))
+                eb = min(
+                    p_c, _bucket_rows(s1, max(64, (1 << 20) // (16 * wb)))
+                )
+                if bands and eb <= bands[-1][1]:
+                    # Bucketing swallowed this band into the previous one
+                    # (whose width is >= ours) — skip it.
+                    s0 = s1
+                    continue
+                bands.append((wb, eb))
+                s0 = s1
+            if not bands or bands[-1][1] < p_c:
+                # Dead-tail rows assemble at the narrowest width present.
+                wb = bands[-1][0] if bands else min(8, w_c)
+                if bands and bands[-1][0] == wb:
+                    bands[-1] = (wb, p_c)
+                else:
+                    bands.append((wb, p_c))
+            build_bands.append(tuple(bands))
+            prev = e_c
+        build_bands = tuple(build_bands)
     # Padded row id of each real window (class offset + padded class start).
     row_vals = np.empty((ud,), np.int32)
     prev = 0
@@ -563,6 +633,7 @@ def plan_pool_host(
         "dil": dil,
         "widths": widths,
         "ends": ends_pad,
+        "build_bands": build_bands,
         "sizes_real": sizes,
         "packed": packed_pad,
         "row_vals": pad1(row_vals, ud_b, ud_pad),
@@ -693,6 +764,7 @@ def build_pool_prepack(
         plan["prod_d_pad"],
         plan["prod_e_pad"],
         np.dtype(dtype).name,
+        plan.get("build_bands"),
     )
     pool_xyz, pool_idx, lut_d = _build_pools(
         dev["packed"],

@@ -140,6 +140,7 @@ def build_sharded_pool_host(
         plans2[0]["prod_d_pad"],
         plans2[0]["prod_e_pad"],
         "float32",
+        None,  # force-mode plans carry no build bands (see plan_pool_host)
     )
     budgets = tuple(
         int(max(p["budgets"][c] for p in plans2))
@@ -196,7 +197,7 @@ def build_sharded_pools_device(
         for key, v in sp.seeds.items()
         if key not in ("width_lut", "union_lut", "dims_d", "origin_d")
     }
-    plan_key = sp.plan_key[:-1] + (np.dtype(dtype).name,)
+    plan_key = sp.plan_key[:4] + (np.dtype(dtype).name,) + sp.plan_key[5:]
 
     def body(packed, cell_start, cell_count, base_e, d_cells_e, off_e,
              d_cells, row_vals):
