@@ -456,6 +456,16 @@ def _select_kernel(wb_ref, ub_ref, xyz_ref, idx_ref, src_ref, outd_ref,
     without touching the window at all. Loop-timed A/B on the 35k bench pair
     (384 lanes): 6.82 -> 6.20 ms/iter (~9% — the extraction loop is no longer
     the dominant phase at compacted widths; the win grows with lane count).
+
+    ``src_ref`` rows are (bs, 8): xyz + valid flag + the row's SEGMENT lane
+    bounds [lo, hi) in lanes 4-5 (+ 2 spare). Segment-packed pool rows
+    (ops/fused_pool.py) put F narrow windows side by side in one row of
+    lanes; each source row's candidates then live in its own lane segment,
+    and the mask below makes that exact. Unsegmented rows carry lo=0,
+    hi=inf, so the mask is a no-op for them. Candidate lane order within a
+    segment equals the window's candidate enumeration, so the global-lane
+    tie-break used by the extraction loop preserves the shared
+    (neighbor-offset, slot) tie contract per source.
     """
     bg = xyz_ref.shape[0]
     bs = bg * GROUP
@@ -505,10 +515,11 @@ def _select_kernel(wb_ref, ub_ref, xyz_ref, idx_ref, src_ref, outd_ref,
         dy = cy - sy
         dz = cz - sz
         d2 = dx * dx + dy * dy + dz * dz
-        live = (ci >= 0) & valid & (d2 <= r2)
-        d2 = jnp.where(live, d2, big)
-
         lane = lax.broadcasted_iota(jnp.int32, (bs, lim), 1)
+        lanef = lane.astype(jnp.float32)
+        seg = (lanef >= src_ref[:, 4:5]) & (lanef < src_ref[:, 5:6])
+        live = (ci >= 0) & valid & (d2 <= r2) & seg
+        d2 = jnp.where(live, d2, big)
         if dyn_rounds:
             # Tighten the SMEM union bound with the block's real in-radius
             # count: a row with c live candidates fills at most c slots, so
@@ -586,7 +597,10 @@ def _group_by_window(source, source_valid, lut_d, origin_d, dims_d, ud,
     sort same-window sources into cell-pure GROUP-row blocks.
 
     Returns (padded, step_rows, order, dst, overflow):
-      padded: (s_pad, 4) sorted sources + valid flag in lane 3.
+      padded: (s_pad, 8) sorted sources + valid flag in lane 3 + the
+        kernel's segment lane bounds [lo, hi) in lanes 4-5 (0 / _BIG here:
+        the dense engine packs one window per pool row — segment packing
+        lives in ops/fused_pool._group_by_row).
       step_rows: (s_pad // GROUP,) window row per group (ud = dead window).
       order / dst: the sort permutation and each source's padded-row slot
         (callers un-sort the kernel outputs with these).
@@ -630,10 +644,17 @@ def _group_by_window(source, source_valid, lut_d, origin_d, dims_d, ud,
     overflow = jnp.sum(jnp.where(dst >= s_pad, 1, 0)) - jnp.sum(dead)
 
     src_sorted = source[order]
-    padded = jnp.zeros((s_pad, 4), dtype)
+    padded = jnp.zeros((s_pad, 8), dtype)
     padded = padded.at[dst].set(
         jnp.concatenate(
-            [src_sorted, jnp.ones((n, 1), dtype)], axis=1
+            [
+                src_sorted,
+                jnp.ones((n, 1), dtype),
+                jnp.zeros((n, 1), dtype),
+                jnp.full((n, 1), _BIG, dtype),
+                jnp.zeros((n, 2), dtype),
+            ],
+            axis=1,
         ),
         mode="drop",
     )
@@ -683,7 +704,7 @@ def _run_select(padded, win_xyz, win_idx, w_blk, u_blk, *, k, n_lanes, radius,
             ),
             pl.BlockSpec((block_groups, n_lanes), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bs, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bs, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=out_specs,
         out_shape=out_shape,

@@ -804,28 +804,33 @@ def build_pool_prepack(
     )
 
 
-def _xla_class_select(rows4, win_xyz, win_idx, *, k, kp, radius,
+def _xla_class_select(rows8, win_xyz, win_idx, *, k, kp, radius,
                       return_points):
     """Narrow-class select in plain XLA: distances + stable ``lax.top_k``.
 
-    ``rows4``: (B*GROUP, 4) padded sources (xyz + valid flag), ``win_xyz``:
-    (B, 3, w) per-group candidate windows, ``win_idx``: (B, w). Returns the
-    same (outd, outi, outp) contract as :func:`_run_select` at ``kp``
-    columns. ``lax.top_k`` on the negated distances breaks ties toward the
-    lower lane — exactly the (distance, lane) order of the kernel's
-    min-extraction — so results are bit-compatible; for w <= k it is a full
-    stable sort and no selection happens at all.
+    ``rows8``: (B*GROUP, 8) padded sources (xyz + valid flag + segment lane
+    bounds [lo, hi) in lanes 4-5 — the same row format as the Pallas
+    kernel's src block), ``win_xyz``: (B, 3, w) per-group candidate windows,
+    ``win_idx``: (B, w). Returns the same (outd, outi, outp) contract as
+    :func:`_run_select` at ``kp`` columns. ``lax.top_k`` on the negated
+    distances breaks ties toward the lower lane — exactly the
+    (distance, lane) order of the kernel's min-extraction — so results are
+    bit-compatible; for w <= k it is a full stable sort and no selection
+    happens at all.
     """
     b, _, w = win_xyz.shape
     big = jnp.float32(3e38)
-    src = rows4.reshape(b, GROUP, 4).astype(jnp.float32)
+    src = rows8.reshape(b, GROUP, 8).astype(jnp.float32)
     wx = win_xyz.astype(jnp.float32)
     d = src[:, :, :3, None] - wx[:, None, :, :]  # (B, G, 3, w)
     d2 = jnp.sum(d * d, axis=2)  # (B, G, w)
+    lane = jnp.arange(w, dtype=jnp.float32)
+    seg = (lane >= src[:, :, 4:5]) & (lane < src[:, :, 5:6])
     live = (
         (win_idx[:, None, :] >= 0)
-        & (src[:, :, 3:] > 0)
+        & (src[:, :, 3:4] > 0)
         & (d2 <= jnp.float32(radius) ** 2)
+        & seg
     )
     d2 = jnp.where(live, d2, big)
     kk = min(k, w)
