@@ -542,6 +542,8 @@ def _registration_scan_pool(
     pool_idx,
     width_lut,
     union_lut,
+    q_lut,
+    seg_lut,
     lut_d,
     origin_d,
     dims_d,
@@ -588,6 +590,8 @@ def _registration_scan_pool(
             pool_idx,
             width_lut,
             union_lut,
+            q_lut,
+            seg_lut,
             lut_d,
             origin_d,
             dims_d,
@@ -910,6 +914,9 @@ class ProbabilisticRegistration:
         self.current_iteration = 0
         self.cost_drop = 0.0
         self.num_unuseful_iter = 0
+        # Pooled-engine row-budget escalation state (x2 per overflow before
+        # the grid fallback engages — see _align_loop's overflow handler).
+        self._pool_budget_boost = 0
         self.mse_prev_it = 0.0
         self._prev_source = self.source_cloud.copy() if params.summary else None
 
@@ -1192,7 +1199,10 @@ class ProbabilisticRegistration:
                 pool = self._pool
                 fchunk = max(1, int(p.outer_chunk))
                 budget = round_up(
-                    max(pool.budget_rows, self._filtered_src_dev.shape[0] + 4096),
+                    max(
+                        pool.budget_rows << self._pool_budget_boost,
+                        self._filtered_src_dev.shape[0] + 4096,
+                    ),
                     2048,
                 )
                 outs = _registration_scan_pool(
@@ -1202,6 +1212,8 @@ class ProbabilisticRegistration:
                     pool.pool_idx,
                     pool.width_lut,
                     pool.union_lut,
+                    pool.q_lut,
+                    pool.seg_lut,
                     pool.lut_d,
                     pool.origin_d,
                     pool.dims_d,
@@ -1227,15 +1239,28 @@ class ProbabilisticRegistration:
                 ovf = got[7]
                 if int(np.sum(ovf)) > 0:
                     # A row or class-prefix budget overflowed: no results
-                    # were consumed — redo this chunk (and the rest of the
-                    # pair) on the XLA grid engine (uploaded lazily: pooled
-                    # pairs skip the ~164 MB bucket tensors at ctor time).
-                    # Restore the stall counter the loop-top has_converged()
-                    # mutated for the discarded iteration (see the fused
-                    # handler above).
+                    # were consumed — redo this chunk. First ESCALATE the
+                    # pooled row budget (x2, twice): the segment-packed
+                    # plan estimates rows from target occupancy, and a
+                    # badly misaligned initial pose can need more until the
+                    # clouds converge — one redo at a bucketed bigger
+                    # budget is far cheaper than a whole pair on the XLA
+                    # grid engine. Only past the escalation cap fall back
+                    # to the grid engine (uploaded lazily: pooled pairs
+                    # skip the ~164 MB bucket tensors at ctor time).
+                    # Either way restore the stall counter the loop-top
+                    # has_converged() mutated for the discarded iteration
+                    # (see the fused handler above).
+                    self.num_unuseful_iter = int(conv0[1])
+                    if self._pool_budget_boost < 2:
+                        self._pool_budget_boost += 1
+                        self.out << (
+                            "Pooled-engine budget overflow; retrying with "
+                            f"a {1 << self._pool_budget_boost}x row budget\n"
+                        )
+                        continue
                     self._pool = None
                     self._ensure_grid_device()
-                    self.num_unuseful_iter = int(conv0[1])
                     self.out << (
                         "Pooled-engine budget overflow; falling back to the "
                         "XLA grid engine for this pair\n"

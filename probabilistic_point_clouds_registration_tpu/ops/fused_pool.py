@@ -105,18 +105,25 @@ class PoolPrepack(NamedTuple):
     """Per-pair pooled fused-search state (device arrays unless noted).
 
     Attributes:
-      pool_xyz / pool_idx: per width class c, (n_c + 1, 3, W_c) candidate
-        coordinates and (n_c + 1, W_c) original target indices (-1 = empty);
-        row n_c is the dead window.
+      pool_xyz / pool_idx: per width class c, (R_c + 1, 3, W_c) candidate
+        coordinates and (R_c + 1, W_c) original target indices (-1 = empty);
+        row R_c is the dead row. A POOL ROW packs F consecutive windows
+        side by side (F from the plan's segment bands; 1 for wide windows),
+        each owning a W_c//F-lane segment.
       class_widths: static per-class lane widths, descending.
-      class_ends: static exclusive end row id of each class in the global
-        width-sorted window numbering (class c = rows [ends[c-1], ends[c])).
+      class_ends: static exclusive end POOL-ROW id of each class in the
+        global width-sorted row numbering (class c = rows
+        [ends[c-1], ends[c])).
       class_budgets: static per-class GROUP budgets (groups [0, B_c) are
         covered by pass c; the last class always covers every group).
-      width_lut: (UD + 1,) per-window kernel width (lanes; dead row = 0).
-      lut_d / origin_d / dims_d: extended-grid cell -> window row mapping
-        (same contract as the dense engine's PrepackedGrid).
-      budget_rows: static padded source-row budget for _group_by_window.
+      width_lut / union_lut: (R + 1,) per-POOL-ROW kernel width (lanes;
+        dead row = 0) and max real candidate union over the row's windows.
+      q_lut / seg_lut: (UD_pad + 1,) padded-window-id -> pool row, and the
+        packed (segment f, log2(GROUP//F), log2(W//F)) metadata the
+        grouping unpacks (_group_by_row).
+      lut_d / origin_d / dims_d: extended-grid cell -> padded window id
+        mapping (same contract as the dense engine's PrepackedGrid).
+      budget_rows: static padded source-row budget for _group_by_row.
       n_dilated: static UD.
       cell_size: static float.
     """
@@ -128,6 +135,8 @@ class PoolPrepack(NamedTuple):
     class_budgets: tuple
     width_lut: jnp.ndarray
     union_lut: jnp.ndarray
+    q_lut: jnp.ndarray
+    seg_lut: jnp.ndarray
     lut_d: jnp.ndarray
     origin_d: jnp.ndarray
     dims_d: jnp.ndarray
@@ -220,10 +229,14 @@ def _build_pools(packed, cell_start, cell_count, base_e, d_cells_e, off_e,
 
     ``plan_key`` is the static pool geometry from :func:`plan_pool_host`:
     (pow2 class widths, bucket-padded class ends, pow2-padded prod_d /
-    prod_e, dtype name, per-class build bands or None) — every element
-    bucketed so consecutive scans of similar geometry reuse this compile.
-    Windows live in the PADDED numbering (``row_vals``); class tails are
-    dead rows. Returns (pool_xyz tuple, pool_idx tuple, lut_d).
+    prod_e, dtype name, per-class segment bands (w_assemble, F, n_pad)) —
+    every element bucketed so consecutive scans of similar geometry reuse
+    this compile. Windows live in the PADDED numbering (``row_vals``);
+    band/class tails are dead rows. A band with F > 1 assembles its windows
+    at ``w_assemble`` lanes, pads each to its W//F-lane segment, and packs
+    F side by side per pool row (segment-major — window i of a row owns
+    lanes [i*W//F, (i+1)*W//F), matching seg_lut's (f, gseg, ws) metadata).
+    Returns (pool_xyz tuple, pool_idx tuple, lut_d).
     """
     widths, ends, prod_d, prod_e, dtype_name, build_bands = plan_key
     dtype = jnp.dtype(dtype_name)
@@ -239,41 +252,41 @@ def _build_pools(packed, cell_start, cell_count, base_e, d_cells_e, off_e,
     )
     pool_xyz, pool_idx = [], []
     prev = 0
-    for c, (w_c, e_c) in enumerate(zip(widths, ends)):
-        n_c = e_c - prev
-        bands = (
-            build_bands[c]
-            if build_bands is not None
-            else ((w_c, n_c),)
-        )
+    for c, w_c in enumerate(widths):
         parts_xyz, parts_idx = [], []
-        prev_b = 0
-        for w_b, e_b in bands:
-            nb = e_b - prev_b
+        off = 0
+        for w_b, f, nb in build_bands[c]:
             block = _pool_block(nb, w_b)
             xyz, idx = _assemble_pool_class(
                 packed,
                 cell_start,
                 cell_count,
-                nrows_dev[prev + prev_b : prev + e_b],
+                nrows_dev[prev + off : prev + off + nb],
                 w_c=w_b,
                 n_rows=round_up(nb, block),
             )
-            # Pad lanes up to the class width (a band may be narrower:
-            # its windows' real pow2 width — the per-element pool gather
-            # then touches only ~live lanes).
-            parts_xyz.append(
-                jnp.pad(
-                    xyz.astype(dtype),
-                    ((0, 0), (0, 0), (0, w_c - w_b)),
-                    constant_values=jnp.asarray(_BIG, dtype),
+            # Pad lanes up to the segment width (the band assembles at its
+            # windows' real pow2 width — the per-element pool gather then
+            # touches only ~live lanes), then pack F windows per pool row.
+            ws = w_c // f
+            xyz = jnp.pad(
+                xyz.astype(dtype),
+                ((0, 0), (0, 0), (0, ws - w_b)),
+                constant_values=jnp.asarray(_BIG, dtype),
+            )
+            idx = jnp.pad(idx, ((0, 0), (0, ws - w_b)), constant_values=-1)
+            if f > 1:
+                nr = nb // f
+                xyz = (
+                    xyz.reshape(nr, f, 3, ws)
+                    .transpose(0, 2, 1, 3)
+                    .reshape(nr, 3, w_c)
                 )
-            )
-            parts_idx.append(
-                jnp.pad(idx, ((0, 0), (0, w_c - w_b)), constant_values=-1)
-            )
-            prev_b = e_b
-        # Dead window (row n_c): constructed directly, nothing to gather.
+                idx = idx.reshape(nr, w_c)
+            parts_xyz.append(xyz)
+            parts_idx.append(idx)
+            off += nb
+        # Dead pool row: constructed directly, nothing to gather.
         pool_xyz.append(
             jnp.concatenate(
                 parts_xyz + [jnp.full((1, 3, w_c), _BIG, dtype)], axis=0
@@ -284,7 +297,7 @@ def _build_pools(packed, cell_start, cell_count, base_e, d_cells_e, off_e,
                 parts_idx + [jnp.full((1, w_c), -1, jnp.int32)], axis=0
             )
         )
-        prev = e_c
+        prev = ends[c]
     return tuple(pool_xyz), tuple(pool_idx), lut_d
 
 
@@ -356,6 +369,88 @@ def _assemble_pool_class(packed_sorted, cell_start, cell_count, nrows_c,
     xyz = xyz.reshape(n_rows, 3, w_c)[:n_c]
     idx = idx.reshape(n_rows, w_c)[:n_c]
     return xyz, idx
+
+
+def _rows_for(cnt: np.ndarray, f: int) -> int:
+    """Predicted padded SOURCE rows for packing windows with per-window
+    source-count proxy ``cnt`` at segment factor ``f``: each pool row packs
+    ``f`` consecutive windows and every window gets GROUP//f row slots per
+    group, so a pool row with per-segment counts n_0..n_{f-1} costs
+    GROUP * max_i ceil(n_i / (GROUP//f)) source rows."""
+    gseg = GROUP // f
+    pad = (-len(cnt)) % f
+    c = np.concatenate([cnt, np.zeros(pad, cnt.dtype)]).reshape(-1, f)
+    return int(GROUP * (-(-c // gseg)).max(axis=1).sum())
+
+
+def _plan_segment_bands(
+    union: np.ndarray, center: np.ndarray, widths: list[int], ends: list[int]
+) -> list[list[tuple[int, int, int]]]:
+    """Partition each width class's (width-sorted) windows into SEGMENT bands.
+
+    A band with segment factor F packs F consecutive windows side by side in
+    each pool row of the class's lane width W: window i owns lanes
+    [i%F * W//F, (i%F + 1) * W//F), and the per-iteration grouping gives each
+    window GROUP//F source-row slots per group (ops/fused_pool._group_by_row).
+    VPU op cost is proportional to SOURCE ROWS x 128-lane registers, so on
+    sparse scans — where 8-row cell-pure groups are mostly padding (KITTI
+    occupancy ~2.6: 400k padded rows for 131k sources) — packing trades
+    free lane slack (a union-8 window wastes 120 of its 128 lanes either
+    way) for real row density.
+
+    F is chosen per run of equal F_max (F_max = W // pow2ceil(union), capped
+    at GROUP — the fit constraint) by minimizing predicted source rows from
+    the windows' center-cell target counts (``center`` — the same source
+    density proxy the group budgets use): OCCUPANCY, not union, decides
+    whether packing pays. Ties prefer larger F (fewer pool rows, smaller
+    pools, fewer window gathers).
+
+    Returns, per class, a list of (w_assemble, F, n_real_windows) bands;
+    w_assemble <= W//F is the real pow2 width the pool build gathers at
+    (lanes beyond it in the segment are dead padding).
+    """
+    out = []
+    prev = 0
+    for w_cls, e in zip(widths, ends):
+        u = union[prev:e]
+        cnt = center[prev:e]
+        n = e - prev
+        w_need = np.maximum(
+            1, 1 << np.ceil(np.log2(np.maximum(u, 1))).astype(np.int64)
+        )
+        f_max = np.minimum(GROUP, w_cls // np.minimum(w_need, w_cls))
+        bands: list[tuple[int, int, int]] = []
+        s0 = 0
+        while s0 < n:
+            fm = int(f_max[s0])
+            # union descending -> w_need non-increasing -> f_max ascending.
+            s1 = int(np.searchsorted(f_max, fm, side="right"))
+            # Windows inside a band are RE-SORTED by descending count proxy
+            # before packing (plan_pool_host), so F-tuples hold similar
+            # occupancies and the per-row max tracks the mean (union-sorted
+            # adjacency does NOT correlate occupancy: KITTI p50 occupancy
+            # is 1 with 284-point hot cells). Evaluate candidates on the
+            # sorted counts the packing will actually see.
+            cnt_run = -np.sort(-cnt[s0:s1])
+            best_f, best_rows = 1, None
+            f = 1
+            while f <= fm:
+                r = _rows_for(cnt_run, f)
+                if best_rows is None or r <= best_rows:
+                    best_f, best_rows = f, r
+                f *= 2
+            wa = int(min(w_cls // best_f, _pow2(max(int(u[s0]), 1))))
+            if bands and bands[-1][1] == best_f:
+                pw, pf, pn = bands[-1]
+                bands[-1] = (max(pw, wa), pf, pn + (s1 - s0))
+            else:
+                bands.append((wa, best_f, s1 - s0))
+            s0 = s1
+        if not bands:
+            bands.append((w_cls, 1, 0))
+        out.append(bands)
+        prev = e
+    return out
 
 
 def _ladder_ends(union: np.ndarray, widths: list[int]) -> list[int] | None:
@@ -471,122 +566,151 @@ def plan_pool_host(
         if ends is None:
             return None
 
-    # ---- Sequence compile stability: bucket EVERY static dimension ----
-    # Data-exact shapes (class row counts, window/cell/point counts, group
-    # budgets) differ between consecutive scans and would recompile every
-    # per-pair program (seconds each on a remote-compile tunnel). Class
-    # sizes round up geometrically (~12.5% granularity) into a PADDED
-    # window numbering with dead rows at each class tail; upload arrays pad
-    # to the same buckets with dropped-scatter sentinels. Similar scans then
-    # share the full static key and reuse compiled programs.
+    # ---- Segment bands + sequence compile stability ----
+    # Each class is partitioned into SEGMENT bands (w_assemble, F, n): a
+    # band packs F consecutive windows per pool row, each owning a
+    # W_c//F-lane segment and GROUP//F source-row slots per group
+    # (_plan_segment_bands — the sparse-tail density lever). Band sizes are
+    # bucketed geometrically (~12.5% granularity, pow2 floors that keep
+    # every band a multiple of its F), so data-exact shape noise between
+    # consecutive scans disappears into dead-window padding and the static
+    # keys repeat across a sequence (remote compiles cost seconds each).
+    # Force-mode (harmonized SPMD) plans use one F=1 band per class at the
+    # forced pad size: their static key must be identical across group
+    # members, and the band structure is scan-dependent.
     ud = int(union.shape[0])
     sizes = np.diff([0] + ends).tolist()
-    # Width-aware class-size floors: small classes (hot-spot tails) vary a
-    # lot between scans, and padding them is cheap — floor each class at
-    # ~1 MB of pool rows so the count noise disappears into the pad.
+    # Center-cell target count per window: the source-density proxy for the
+    # band chooser and the group budgets (offset 13 of the (x slowest,
+    # z fastest) 27-enumeration is (0,0,0); sources land like targets).
+    counts_pad = np.concatenate([counts_full, [0]])
+    center = np.where(
+        nrows[:, 13] >= 0, counts_pad[np.maximum(nrows[:, 13], 0)], 0
+    )
     if force is None:
-        pad_sizes = [
-            _bucket_rows(s, max(64, (1 << 20) // (16 * w)))
-            for s, w in zip(sizes, widths)
-        ]
+        bands_real = _plan_segment_bands(union, center, widths, ends)
+        band_layout = []  # per class: [(w_assemble, F, n_real, n_pad)]
+        for bands_c in bands_real:
+            layout = []
+            for wa, f, nb in bands_c:
+                floor = max(64, (1 << 20) // (16 * max(wa, 1)))
+                layout.append((wa, f, nb, _bucket_rows(nb, floor)))
+            band_layout.append(layout)
+        pad_sizes = [sum(b[3] for b in layout) for layout in band_layout]
     else:
         pad_sizes = list(force["pad_sizes"])
         if any(p < s for p, s in zip(pad_sizes, sizes)):
             return None
+        band_layout = [
+            [(w, 1, s, p)] for w, s, p in zip(widths, sizes, pad_sizes)
+        ]
     ends_pad = np.cumsum(pad_sizes).tolist()
     ud_pad = int(ends_pad[-1]) if ends_pad else 0
-    pool_bytes = sum((p + 1) * w * 16 for p, w in zip(pad_sizes, widths))
+    pool_bytes = sum(
+        (sum(b[3] // b[1] for b in layout) + 1) * w * 16
+        for layout, w in zip(band_layout, widths)
+    )
     if pool_bytes > MAX_POOL_BYTES:
         return None
 
-    # ---- Device-build BANDS: assemble each class at its windows' real
-    # pow2 widths (floor 8), padding lanes up to the class width afterward.
-    # The pool gather is per-ELEMENT (~8 ns each): a 128-lane class whose
-    # windows average union ~30 gathers 4-6x more dead lanes than live
-    # ones (KITTI: 33M lanes assembled, 5.4M at real pow2 widths —
-    # measured 321 ms of the 383 ms device build). Bands are (width,
-    # exclusive end) over the PADDED class rows, ends bucketed for compile
-    # stability; a band may extend into narrower windows (safe — assembly
-    # at a wider width only adds dead lanes), and the final band covers
-    # the dead tail at the narrowest width. Force-mode (harmonized SPMD)
-    # plans skip banding: their build key must be identical across group
-    # members, and the band structure is scan-dependent.
-    build_bands = None
-    if force is None:
-        w_fine = np.maximum(
-            8, 1 << np.ceil(np.log2(np.maximum(union, 1))).astype(np.int64)
-        )
-        build_bands = []
-        prev = 0
-        for w_c, e_c, p_c in zip(widths, ends, pad_sizes):
-            cls_w = np.minimum(w_fine[prev:e_c], w_c)
-            bands = []
-            s0 = 0
-            while s0 < e_c - prev:
-                wb = int(cls_w[s0])
-                s1 = int(np.searchsorted(-cls_w, -wb, side="right"))
-                eb = min(
-                    p_c, _bucket_rows(s1, max(64, (1 << 20) // (16 * wb)))
-                )
-                if bands and eb <= bands[-1][1]:
-                    # Bucketing swallowed this band into the previous one
-                    # (whose width is >= ours) — skip it.
-                    s0 = s1
-                    continue
-                bands.append((wb, eb))
-                s0 = s1
-            if not bands or bands[-1][1] < p_c:
-                # Dead-tail rows assemble at the narrowest width present.
-                wb = bands[-1][0] if bands else min(8, w_c)
-                if bands and bands[-1][0] == wb:
-                    bands[-1] = (wb, p_c)
-                else:
-                    bands.append((wb, p_c))
-            build_bands.append(tuple(bands))
-            prev = e_c
-        build_bands = tuple(build_bands)
-    # Padded row id of each real window (class offset + padded class start).
+    # Padded window numbering + pool-row numbering + per-window segment
+    # metadata. seg_lut packs (f, log2(GROUP//F), log2(W//F)) into one int32
+    # so the per-iteration grouping unpacks a window's slot base, group-slot
+    # count and lane segment with shifts (ops/fused_pool._group_by_row).
     row_vals = np.empty((ud,), np.int32)
-    prev = 0
-    for e_c, p_start in zip(ends, [0] + ends_pad[:-1]):
-        row_vals[prev:e_c] = p_start + np.arange(e_c - prev, dtype=np.int32)
-        prev = e_c
-    width_lut_pad = np.zeros((ud_pad + 1,), np.int32)
-    width_lut_pad[row_vals] = dil["width_lut"][:ud]
-    union_lut_pad = np.zeros((ud_pad + 1,), np.int32)
-    union_lut_pad[row_vals] = dil["union_lut"][:ud]
+    q_lut = np.zeros((ud_pad + 1,), np.int32)
+    seg_lut = np.zeros((ud_pad + 1,), np.int32)
+    row_width_parts, row_union_parts = [], []
+    est_groups_total = 0
+    cls_groups = []  # per class: estimated groups (floored counts)
+    class_row_ends = []
+    prev_real = 0
+    pad_cursor = 0
+    row_cursor = 0
+    for w_cls, layout in zip(widths, band_layout):
+        cls_g = 0
+        for wa, f, nb, npad in layout:
+            gseg = GROUP // f
+            ws = w_cls // f
+            # Packing order within the band: descending count proxy for
+            # F > 1 (balanced F-tuples — see _plan_segment_bands), original
+            # width order otherwise. Permuting windows WITHIN a band keeps
+            # class/row prefix ordering and every per-window contract
+            # (lut_d maps cells to padded ids via row_vals).
+            band_idx = np.arange(prev_real, prev_real + nb)
+            if f > 1 and nb:
+                band_idx = band_idx[
+                    np.argsort(-center[band_idx], kind="stable")
+                ]
+            row_vals[band_idx] = pad_cursor + np.arange(nb, dtype=np.int32)
+            p_local = np.arange(npad, dtype=np.int32)
+            q_lut[pad_cursor : pad_cursor + npad] = row_cursor + p_local // f
+            seg_lut[pad_cursor : pad_cursor + npad] = (
+                (p_local % f)
+                | (int(np.log2(gseg)) << 3)
+                | (int(np.log2(ws)) << 5)
+            )
+            nr = npad // f
+            u_band = np.zeros((npad,), np.int64)
+            u_band[:nb] = union[band_idx]
+            u_mat = u_band.reshape(nr, f)
+            row_union_parts.append(u_mat.max(axis=1).astype(np.int32))
+            # Per-row kernel width: lanes up to the highest live candidate
+            # over the row's segments, rounded to the 128-lane branch
+            # granularity (dead rows -> 0 -> the kernel's free skip).
+            lane_off = (np.arange(f, dtype=np.int64) * ws)[None, :]
+            top = np.where(u_mat > 0, lane_off + np.minimum(u_mat, ws), 0)
+            row_width_parts.append(
+                np.minimum(
+                    (np.ceil(top.max(axis=1) / 128.0) * 128).astype(np.int32),
+                    w_cls,
+                )
+            )
+            # Group estimates from the center-count proxy: budgets floor
+            # real windows at 1 (stray sources), the row budget does not.
+            c_raw = np.zeros((npad,), np.int64)
+            c_raw[:nb] = center[band_idx]
+            est_groups_total += int(
+                (-(-c_raw.reshape(nr, f) // gseg)).max(axis=1).sum()
+            )
+            c_fl = np.zeros((npad,), np.int64)
+            c_fl[:nb] = np.maximum(center[band_idx], 1)
+            cls_g += int((-(-c_fl.reshape(nr, f) // gseg)).max(axis=1).sum())
+            prev_real += nb
+            pad_cursor += npad
+            row_cursor += nr
+        cls_groups.append(cls_g)
+        class_row_ends.append(row_cursor)
+    n_rows_pad = row_cursor
+    row_width_lut = np.concatenate(
+        row_width_parts + [np.zeros((1,), np.int32)]
+    )
+    row_union_lut = np.concatenate(
+        row_union_parts + [np.zeros((1,), np.int32)]
+    )
+    q_lut[ud_pad] = n_rows_pad  # dead-window sentinel -> dead pool row
+    seg_lut[ud_pad] = 3 << 3  # f=0, gseg=GROUP, ws=1 (dropped anyway)
 
-    # Row budget: target occupancy predicts source grouping for overlapping
-    # scans; 1.3x margin + the runtime overflow flag covers drift. (The
-    # margin was 1.6x when dead-window sources also consumed budget rows —
-    # _group_by_window now drops them, so the estimate tracks the real
-    # live-row need: KITTI measured 433k live rows vs est 450k.)
-    est_rows = int((np.ceil(counts_full / GROUP) * GROUP).sum())
+    # Row budget: 1.3x margin over the occupancy-predicted row count + the
+    # runtime overflow flag for drift (the estimate tracks live rows only:
+    # dead-window sources are dropped by the grouping).
+    est_rows = GROUP * est_groups_total
     budget_rows = round_up(
         _bucket_rows(max(int(1.3 * est_rows), n)), 2 * BLOCK_GROUPS * GROUP
     )
     ng = budget_rows // GROUP
 
-    # Per-class group budgets: expected groups in classes <= c from the
-    # target count of each window's CENTER cell (offset 13 of the (x slowest,
-    # z fastest) 27-enumeration is (0,0,0); sources land like targets),
-    # 2x margin + floor; the last class always spans every group.
-    counts_pad = np.concatenate([counts_full, [0]])
-    center = np.where(nrows[:, 13] >= 0, counts_pad[np.maximum(nrows[:, 13], 0)], 0)
+    # Per-class group budgets (pool-row groups), 2x margin + floor; the
+    # last class always spans every group. Floor at 1024 groups: prefix
+    # blocks beyond the real groups are width-0 and skipped by the kernel,
+    # so the floor swallows scan-to-scan budget noise at ~zero cost.
     budgets = []
-    prev = 0
     cum_groups = 0
-    for c, e_c in enumerate(ends):
-        cum_groups += int(
-            np.ceil(np.maximum(center[prev:e_c], 1) / GROUP).sum()
-        )
-        prev = e_c
-        if c == len(ends) - 1:
+    for c in range(len(widths)):
+        cum_groups += cls_groups[c]
+        if c == len(widths) - 1:
             budgets.append(ng)
         else:
-            # Floor at 1024 groups: prefix blocks beyond the real groups
-            # are width-0 and skipped by the kernel, so the floor swallows
-            # scan-to-scan budget noise at ~zero cost.
             b = round_up(
                 _bucket_rows(2 * cum_groups + 4 * BLOCK_GROUPS, 1024),
                 BLOCK_GROUPS,
@@ -633,7 +757,13 @@ def plan_pool_host(
         "dil": dil,
         "widths": widths,
         "ends": ends_pad,
-        "build_bands": build_bands,
+        # Static per-class band tuples (w_assemble, F, n_pad) — part of the
+        # _build_pools plan key and the source of the pool-row layout.
+        "bands": tuple(
+            tuple((wa, f, npad) for wa, f, _, npad in layout)
+            for layout in band_layout
+        ),
+        "row_ends": class_row_ends,  # global pool-row ends per class
         "sizes_real": sizes,
         "packed": packed_pad,
         "row_vals": pad1(row_vals, ud_b, ud_pad),
@@ -646,9 +776,14 @@ def plan_pool_host(
         "cell_count": pad1(
             grid_host["cell_count"].astype(np.int32), u_pad, 0
         ),
-        "width_lut": width_lut_pad,
-        "union_lut": union_lut_pad,
+        # ROW-indexed (pool-row numbering) kernel width / union bounds.
+        "width_lut": row_width_lut,
+        "union_lut": row_union_lut,
+        # Padded-window-id -> (pool row, packed segment meta) mappings.
+        "q_lut": q_lut,
+        "seg_lut": seg_lut,
         "ud_pad": ud_pad,
+        "n_rows_pad": n_rows_pad,
         "prod_d_pad": prod_d_pad,
         "prod_e_pad": prod_e_pad,
         "budgets": budgets,
@@ -747,6 +882,8 @@ def build_pool_prepack(
             "origin_d": dil["origin_d"].astype(dtype),
             "width_lut": plan["width_lut"],
             "union_lut": plan["union_lut"],
+            "q_lut": plan["q_lut"],
+            "seg_lut": plan["seg_lut"],
         }
     )
     # One fused device program builds everything: the dense extended-grid
@@ -764,7 +901,7 @@ def build_pool_prepack(
         plan["prod_d_pad"],
         plan["prod_e_pad"],
         np.dtype(dtype).name,
-        plan.get("build_bands"),
+        plan["bands"],
     )
     pool_xyz, pool_idx, lut_d = _build_pools(
         dev["packed"],
@@ -782,12 +919,14 @@ def build_pool_prepack(
         pool_xyz=tuple(pool_xyz),
         pool_idx=tuple(pool_idx),
         class_widths=tuple(widths),
-        class_ends=tuple(ends),
+        class_ends=tuple(plan["row_ends"]),
         class_budgets=tuple(plan["budgets"]),
         width_lut=dev["width_lut"],
         union_lut=dev["union_lut"],
-        # NOTE: width_lut/union_lut/lut_d/pools live in the bucket-PADDED
-        # window numbering (plan_pool_host); dead rows have width 0.
+        q_lut=dev["q_lut"],
+        seg_lut=dev["seg_lut"],
+        # NOTE: lut_d maps cells into the bucket-PADDED window numbering
+        # (plan_pool_host); q_lut/seg_lut map that onto pool rows.
         lut_d=lut_d,
         origin_d=dev["origin_d"],
         dims_d=dev["dims_d"],
@@ -802,6 +941,97 @@ def build_pool_prepack(
         small_unions=_small_unions(dil["union"][dil["union"] > smw], k),
         select_max_w=smw,
     )
+
+
+def _group_by_row(source, source_valid, lut_d, origin_d, dims_d, q_lut,
+                  seg_lut, ud, n_rows, radius, s_pad: int):
+    """Segment-aware grouping: map each source to its window's POOL ROW and
+    sort same-row sources into GROUP-row blocks with per-window slot ranges.
+
+    The segment-packed generalization of fused_grid._group_by_window: a pool
+    row packs F windows (seg_lut meta), window f of a row owns GROUP//F
+    row slots per group, and a row's groups are shared by all its windows —
+    group count per pool row = max over its windows of
+    ceil(n_sources / (GROUP//F)). F = 1 rows reduce exactly to the dense
+    engine's behavior.
+
+    Returns (padded, step_rows, order, dst, overflow):
+      padded: (s_pad, 8) sorted sources: xyz, valid flag, segment lane
+        bounds [lo, hi) in lanes 4-5 (the select kernel's row format).
+      step_rows: (s_pad // GROUP,) POOL ROW per group (n_rows = dead).
+      order / dst: sort permutation and padded-row slots (for un-sorting).
+      overflow: sources past the ``s_pad`` budget (caller redoes the
+        iteration on an XLA engine when nonzero).
+    """
+    n = source.shape[0]
+    dtype = source.dtype
+    ng = s_pad // GROUP
+    cell = jnp.asarray(radius, dtype)
+
+    # 1. source cell -> padded window id (ud = dead window).
+    ijk = jnp.floor((source - origin_d.astype(dtype)) / cell).astype(jnp.int32)
+    inb = jnp.all((ijk >= 0) & (ijk < dims_d[None, :]), axis=-1) & source_valid
+    safe = jnp.clip(ijk, 0, dims_d[None, :] - 1)
+    lin = safe[:, 0] + dims_d[0] * (safe[:, 1] + dims_d[1] * safe[:, 2])
+    row = jnp.where(inb, lut_d[lin], -1)
+    row = jnp.where(row < 0, ud, row)
+
+    # 2. sort by window id (windows of one pool row are consecutive ids, so
+    # the sort is also pool-row-major); dead-window sources sort to the
+    # tail, allocate nothing, and unsort to mask=False.
+    order = jnp.argsort(row, stable=True)
+    rs = row[order]
+    dead = rs == ud
+    qs = q_lut[rs]  # pool row; dead -> n_rows
+    meta = seg_lut[rs]
+    f = meta & 7
+    lgseg = (meta >> 3) & 3
+    lws = meta >> 5
+    pos = jnp.arange(n, dtype=jnp.int32)
+    starts = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), rs[1:] != rs[:-1]]
+    )
+    start_pos = lax.associative_scan(jnp.maximum, jnp.where(starts, pos, -1))
+    local = pos - start_pos  # position within the window's run
+    gw = local >> lgseg  # group index within the pool row
+
+    # 3. groups per pool row = max over its windows; exclusive cumsum gives
+    # each row's group base — group ids stay ordered by pool row, which the
+    # class-prefix budgets rely on.
+    mq = (
+        jnp.zeros((n_rows + 1,), jnp.int32)
+        .at[qs]
+        .max(gw + 1, mode="drop")[:n_rows]
+    )
+    base = jnp.cumsum(mq) - mq
+    gid = base[jnp.minimum(qs, n_rows - 1)] + gw
+    slot = (f << lgseg) + (local & ((jnp.int32(1) << lgseg) - 1))
+    dst = jnp.where(dead, s_pad, gid * GROUP + slot)
+    overflow = jnp.sum(jnp.where(dst >= s_pad, 1, 0)) - jnp.sum(dead)
+
+    src_sorted = source[order]
+    lo = (f << lws).astype(dtype)
+    ws = (jnp.int32(1) << lws).astype(dtype)
+    padded = jnp.zeros((s_pad, 8), dtype)
+    padded = padded.at[dst].set(
+        jnp.concatenate(
+            [
+                src_sorted,
+                jnp.ones((n, 1), dtype),
+                lo[:, None],
+                (lo + ws)[:, None],
+                jnp.zeros((n, 2), dtype),
+            ],
+            axis=1,
+        ),
+        mode="drop",
+    )
+    step_rows = (
+        jnp.full((ng,), n_rows, jnp.int32)
+        .at[jnp.where(dead, ng, gid)]
+        .set(qs, mode="drop")
+    )
+    return padded, step_rows, order, dst, overflow
 
 
 def _xla_class_select(rows8, win_xyz, win_idx, *, k, kp, radius,
@@ -872,6 +1102,8 @@ def fused_pool_search(
     pool_idx,
     width_lut,
     union_lut,
+    q_lut,
+    seg_lut,
     lut_d,
     origin_d,
     dims_d,
@@ -892,6 +1124,9 @@ def fused_pool_search(
     Same contract as fused_grid_search: returns (Correspondences, overflow
     [, points]); overflow > 0 when either the row budget or a class-prefix
     budget was exceeded — the caller redoes the iteration on an XLA engine.
+    ``class_ends`` / ``width_lut`` / ``union_lut`` live in the POOL-ROW
+    numbering (segment-packed rows hold several windows — PoolPrepack);
+    ``q_lut`` / ``seg_lut`` map padded window ids onto (pool row, segment).
     ``select_max_w`` is the narrow-class cutoff frozen at prepack-build time
     (PoolPrepack.select_max_w); None resolves it from the current default
     backend (direct/legacy calls only).
@@ -899,15 +1134,17 @@ def fused_pool_search(
     smw = _select_max_w() if select_max_w is None else select_max_w
     n = source.shape[0]
     dtype = source.dtype
-    ud = width_lut.shape[0] - 1
+    ud = q_lut.shape[0] - 1
+    n_rows = width_lut.shape[0] - 1
     # Rows padded to the LARGEST per-class block (narrow kernel classes run
     # 32-group blocks — half the per-block fixed cost of the dominant pass;
     # wide classes keep 16 to stay inside the VMEM stack budget).
     s_pad = round_up(budget_rows, 2 * BLOCK_GROUPS * GROUP)
     ng = s_pad // GROUP
 
-    padded, step_rows, order, dst, overflow = _group_by_window(
-        source, source_valid, lut_d, origin_d, dims_d, ud, radius, s_pad
+    padded, step_rows, order, dst, overflow = _group_by_row(
+        source, source_valid, lut_d, origin_d, dims_d, q_lut, seg_lut, ud,
+        n_rows, radius, s_pad
     )
 
     kp = 32 if k <= 32 else round_up(k, 128)
@@ -932,6 +1169,12 @@ def fused_pool_search(
             if dyn_rounds and smw < w_c <= 256
             else BLOCK_GROUPS
         )
+        # The LAST class always covers every group, including when the
+        # caller raised budget_rows above the plan's estimate (the plan's
+        # last budget is its own ng; trusting it here would silently skip
+        # the extra groups and the coverage flag below would fire).
+        if c == len(class_widths) - 1:
+            b_c = ng
         b_c = min(round_up(b_c, bg), ng)
         n_c = e_c - prev_end
         rows_c = step_rows[:b_c]

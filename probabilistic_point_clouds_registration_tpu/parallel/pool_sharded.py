@@ -125,6 +125,7 @@ def build_sharded_pool_host(
     seed_keys = (
         "packed", "cell_start", "cell_count", "base_e", "d_cells_e",
         "off_e", "d_cells", "row_vals", "width_lut", "union_lut",
+        "q_lut", "seg_lut",
     )
     seeds = {
         key: np.stack([p[key] for p in plans2]) for key in seed_keys
@@ -140,7 +141,7 @@ def build_sharded_pool_host(
         plans2[0]["prod_d_pad"],
         plans2[0]["prod_e_pad"],
         "float32",
-        None,  # force-mode plans carry no build bands (see plan_pool_host)
+        plans2[0]["bands"],  # force-mode: one F=1 band per class (shared)
     )
     budgets = tuple(
         int(max(p["budgets"][c] for p in plans2))
@@ -154,7 +155,7 @@ def build_sharded_pool_host(
         seeds=seeds,
         plan_key=plan_key,
         class_widths=tuple(ladder),
-        class_ends=tuple(int(e) for e in ends_pad),
+        class_ends=tuple(int(e) for e in plans2[0]["row_ends"]),
         class_budgets=budgets,
         budget_rows=max(int(p["budget_rows"]) for p in plans2),
         cell_size=float(cell_size),
@@ -168,10 +169,12 @@ class ShardedPools(NamedTuple):
     """Device pool state, every array's leading axis = n_shards (shard it
     over ``"targets"``)."""
 
-    pool_xyz: tuple  # per class: (T, n_c + 1, 3, W_c)
-    pool_idx: tuple  # per class: (T, n_c + 1, W_c)
-    width_lut: jnp.ndarray  # (T, UD_pad + 1)
-    union_lut: jnp.ndarray  # (T, UD_pad + 1)
+    pool_xyz: tuple  # per class: (T, R_c + 1, 3, W_c)
+    pool_idx: tuple  # per class: (T, R_c + 1, W_c)
+    width_lut: jnp.ndarray  # (T, R_pad + 1) per-pool-row kernel widths
+    union_lut: jnp.ndarray  # (T, R_pad + 1)
+    q_lut: jnp.ndarray  # (T, UD_pad + 1) padded window id -> pool row
+    seg_lut: jnp.ndarray  # (T, UD_pad + 1) packed segment metadata
     lut_d: jnp.ndarray  # (T, prod_d_pad)
     origin_d: jnp.ndarray  # (T, 3)
     dims_d: jnp.ndarray  # (T, 3)
@@ -195,7 +198,9 @@ def build_sharded_pools_device(
     dev = {
         key: jax.device_put(np.asarray(v), t_spec)
         for key, v in sp.seeds.items()
-        if key not in ("width_lut", "union_lut", "dims_d", "origin_d")
+        if key
+        not in ("width_lut", "union_lut", "q_lut", "seg_lut", "dims_d",
+                "origin_d")
     }
     plan_key = sp.plan_key[:4] + (np.dtype(dtype).name,) + sp.plan_key[5:]
 
@@ -236,6 +241,8 @@ def build_sharded_pools_device(
         pool_idx=pool_idx,
         width_lut=jax.device_put(sp.seeds["width_lut"], t_spec),
         union_lut=jax.device_put(sp.seeds["union_lut"], t_spec),
+        q_lut=jax.device_put(sp.seeds["q_lut"], t_spec),
+        seg_lut=jax.device_put(sp.seeds["seg_lut"], t_spec),
         lut_d=lut_d,
         origin_d=jax.device_put(sp.seeds["origin_d"].astype(dtype), t_spec),
         dims_d=jax.device_put(sp.seeds["dims_d"], t_spec),
@@ -292,8 +299,8 @@ def make_sharded_pool_registration_step(
         for b in sp.class_budgets[:-1]
     ) + (ng,)
 
-    def body(fs, sv, pool_xyz, pool_idx, width_lut, union_lut, lut_d,
-             origin_d, dims_d, q_cum, t_cum, q0, t0):
+    def body(fs, sv, pool_xyz, pool_idx, width_lut, union_lut, q_lut,
+             seg_lut, lut_d, origin_d, dims_d, q_cum, t_cum, q0, t0):
         sq = lambda a: a.reshape(a.shape[1:])
         moved = quat_rotate(q_cum, fs) + t_cum
         corr, overflow, pts = _fp.fused_pool_search(
@@ -303,6 +310,8 @@ def make_sharded_pool_registration_step(
             tuple(sq(x) for x in pool_idx),
             sq(width_lut),
             sq(union_lut),
+            sq(q_lut),
+            sq(seg_lut),
             sq(lut_d),
             sq(origin_d),
             sq(dims_d),
@@ -342,6 +351,8 @@ def make_sharded_pool_registration_step(
             (P(TARGETS_AXIS),) * nc,  # pool_idx per class
             P(TARGETS_AXIS),  # width_lut
             P(TARGETS_AXIS),  # union_lut
+            P(TARGETS_AXIS),  # q_lut
+            P(TARGETS_AXIS),  # seg_lut
             P(TARGETS_AXIS),  # lut_d
             P(TARGETS_AXIS),  # origin_d
             P(TARGETS_AXIS),  # dims_d
@@ -370,8 +381,8 @@ def make_sharded_pool_registration_step(
     def step(fs, sv, pools: ShardedPools, q_cum, t_cum, q0, t0):
         return jitted(
             fs, sv, pools.pool_xyz, pools.pool_idx, pools.width_lut,
-            pools.union_lut, pools.lut_d, pools.origin_d, pools.dims_d,
-            q_cum, t_cum, q0, t0,
+            pools.union_lut, pools.q_lut, pools.seg_lut, pools.lut_d,
+            pools.origin_d, pools.dims_d, q_cum, t_cum, q0, t0,
         )
 
     return step
