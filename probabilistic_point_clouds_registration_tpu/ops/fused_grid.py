@@ -50,6 +50,39 @@ GROUP = 8
 BLOCK_GROUPS = 16
 # Dead-candidate coordinate sentinel: squared distances overflow any radius.
 _BIG = np.float32(1e30)
+# Row-meta encoding for lane 3 of the padded source rows: a FLOAT-exact
+# integer (max ~263k << 2^24, so it survives f64 -> f32 casts) packing the
+# valid flag and the row's segment lane bounds in 16-lane units:
+#   meta = valid | (lo/16) << 1 | (hi/16) << 10      (lo % 16 == 0;
+#                                                      hi rounded UP to 16)
+# Segment factors are planned so every F > 1 segment width is a multiple of
+# 16 (ops/fused_pool._plan_segment_bands); F = 1 rows use lo = 0 and a
+# rounded-up hi, where the extra lanes are dead padding anyway.
+META_UNIT = 16
+
+
+def pack_row_meta(valid, lo, hi):
+    """Pack (valid, lo, hi) into the float-integer row meta (see META_UNIT).
+
+    ``lo`` must be a multiple of META_UNIT; ``hi`` is rounded up to one.
+    Works on numpy or jax int arrays; returns the same backend's array.
+    """
+    np_mod = jnp if isinstance(valid, jnp.ndarray) else np
+    hi16 = -(-np_mod.asarray(hi) // META_UNIT)
+    return (
+        np_mod.asarray(valid).astype(np_mod.int32)
+        + ((np_mod.asarray(lo) // META_UNIT) << 1)
+        + (hi16 << 10)
+    )
+
+
+def _unpack_row_meta(v):
+    """Kernel-side inverse of :func:`pack_row_meta` (f32 column -> ints)."""
+    vi = v.astype(jnp.int32)
+    valid = (vi & 1) > 0
+    lo = ((vi >> 1) & 511) << 4
+    hi = (vi >> 10) << 4
+    return valid, lo, hi
 
 
 class PrepackedGrid(NamedTuple):
@@ -469,10 +502,12 @@ def _select_kernel(wb_ref, ub_ref, xyz_ref, idx_ref, src_ref, outd_ref,
     """
     bg = xyz_ref.shape[0]
     bs = bg * GROUP
-    # Optional third output: the selected neighbors' coordinates (BS, 3, kp).
-    # Emitting them here (they are already in VMEM) saves the caller a
-    # 12 B-granularity random gather of target[indices] afterwards.
-    outp_ref = outp_refs[0] if outp_refs else None
+    # Optional outputs 3-5: the selected neighbors' coordinates as THREE
+    # (BS, kp) planes (x, y, z). Emitting them here (they are already in
+    # VMEM) saves the caller a 12 B-granularity random gather of
+    # target[indices] afterwards; separate planes rather than one
+    # (BS, 3, kp) block keep every write in the kernel's native 2-D layout
+    # (the stacked form paid a per-block relayout).
     # Finite sentinel (not inf: the `m < big` found-test must be able to
     # fail). Dead-slot coordinates are 1e30 so their d2 overflows to inf,
     # which the `live` mask then maps back onto this sentinel.
@@ -494,8 +529,8 @@ def _select_kernel(wb_ref, ub_ref, xyz_ref, idx_ref, src_ref, outd_ref,
     def _dead_block():
         outd_ref[:] = jnp.full((bs, kp), big, jnp.float32)
         outi_ref[:] = jnp.full((bs, kp), -1, jnp.int32)
-        if outp_ref is not None:
-            outp_ref[:] = jnp.zeros((bs, 3, kp), jnp.float32)
+        for ref in outp_refs:
+            ref[:] = jnp.zeros((bs, kp), jnp.float32)
 
     def extract(lim: int):
         def rep(x):  # (BG, lim) -> (BS, lim): window row j serves rows 8j..8j+7
@@ -510,16 +545,16 @@ def _select_kernel(wb_ref, ub_ref, xyz_ref, idx_ref, src_ref, outd_ref,
         sx = src_ref[:, 0:1]
         sy = src_ref[:, 1:2]
         sz = src_ref[:, 2:3]
-        valid = src_ref[:, 3:4] > 0
+        valid, lo, hi = _unpack_row_meta(src_ref[:, 3:4])
         dx = cx - sx
         dy = cy - sy
         dz = cz - sz
         d2 = dx * dx + dy * dy + dz * dz
         lane = lax.broadcasted_iota(jnp.int32, (bs, lim), 1)
-        lanef = lane.astype(jnp.float32)
-        seg = (lanef >= src_ref[:, 4:5]) & (lanef < src_ref[:, 5:6])
+        seg = (lane >= lo) & (lane < hi)
         live = (ci >= 0) & valid & (d2 <= r2) & seg
         d2 = jnp.where(live, d2, big)
+        has_p = bool(outp_refs)
         if dyn_rounds:
             # Tighten the SMEM union bound with the block's real in-radius
             # count: a row with c live candidates fills at most c slots, so
@@ -534,7 +569,7 @@ def _select_kernel(wb_ref, ub_ref, xyz_ref, idx_ref, src_ref, outd_ref,
             rounds_eff = rounds
         outd0 = jnp.full((bs, kp), big, jnp.float32)
         outi0 = jnp.full((bs, kp), -1, jnp.int32)
-        if outp_ref is not None:
+        if has_p:
             op0 = (
                 jnp.zeros((bs, kp), jnp.float32),
                 jnp.zeros((bs, kp), jnp.float32),
@@ -580,8 +615,8 @@ def _select_kernel(wb_ref, ub_ref, xyz_ref, idx_ref, src_ref, outd_ref,
             _, outd, outi, *ops = carry
         outd_ref[:] = outd
         outi_ref[:] = outi
-        if outp_ref is not None:
-            outp_ref[:] = jnp.stack(ops, axis=1)
+        for ref, op in zip(outp_refs, ops):
+            ref[:] = op
 
     limits = _width_limits(n_lanes)
     lo = 0
@@ -597,9 +632,9 @@ def _group_by_window(source, source_valid, lut_d, origin_d, dims_d, ud,
     sort same-window sources into cell-pure GROUP-row blocks.
 
     Returns (padded, step_rows, order, dst, overflow):
-      padded: (s_pad, 8) sorted sources + valid flag in lane 3 + the
-        kernel's segment lane bounds [lo, hi) in lanes 4-5 (0 / _BIG here:
-        the dense engine packs one window per pool row — segment packing
+      padded: (s_pad, 4) sorted sources + the packed row meta in lane 3
+        (pack_row_meta: valid flag + segment lane bounds — full-width here:
+        the dense engine packs one window per pool row; segment packing
         lives in ops/fused_pool._group_by_row).
       step_rows: (s_pad // GROUP,) window row per group (ud = dead window).
       order / dst: the sort permutation and each source's padded-row slot
@@ -644,17 +679,11 @@ def _group_by_window(source, source_valid, lut_d, origin_d, dims_d, ud,
     overflow = jnp.sum(jnp.where(dst >= s_pad, 1, 0)) - jnp.sum(dead)
 
     src_sorted = source[order]
-    padded = jnp.zeros((s_pad, 8), dtype)
+    meta = jnp.asarray(pack_row_meta(1, 0, 4096), dtype)
+    padded = jnp.zeros((s_pad, 4), dtype)
     padded = padded.at[dst].set(
         jnp.concatenate(
-            [
-                src_sorted,
-                jnp.ones((n, 1), dtype),
-                jnp.zeros((n, 1), dtype),
-                jnp.full((n, 1), _BIG, dtype),
-                jnp.zeros((n, 2), dtype),
-            ],
-            axis=1,
+            [src_sorted, jnp.full((n, 1), meta, dtype)], axis=1
         ),
         mode="drop",
     )
@@ -687,11 +716,14 @@ def _run_select(padded, win_xyz, win_idx, w_blk, u_blk, *, k, n_lanes, radius,
         jax.ShapeDtypeStruct((s_pad, kp), jnp.int32),
     ]
     if return_points:
-        out_specs.append(
-            pl.BlockSpec((bs, 3, kp), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM)
-        )
-        out_shape.append(jax.ShapeDtypeStruct((s_pad, 3, kp), jnp.float32))
+        for _ in range(3):
+            out_specs.append(
+                pl.BlockSpec((bs, kp), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+            )
+            out_shape.append(
+                jax.ShapeDtypeStruct((s_pad, kp), jnp.float32)
+            )
     outs = pl.pallas_call(
         kernel,
         grid=(ng // block_groups,),
@@ -704,14 +736,16 @@ def _run_select(padded, win_xyz, win_idx, w_blk, u_blk, *, k, n_lanes, radius,
             ),
             pl.BlockSpec((block_groups, n_lanes), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bs, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bs, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
     )(w_blk, u_blk, win_xyz.astype(jnp.float32), win_idx,
       padded.astype(jnp.float32))
-    return outs if return_points else (outs[0], outs[1], None)
+    if return_points:
+        return outs[0], outs[1], tuple(outs[2:5])
+    return outs[0], outs[1], None
 
 
 def _unsort_results(outd, outi, outp, order, dst, *, k, n, dtype):
@@ -732,7 +766,9 @@ def _unsort_results(outd, outi, outp, order, dst, *, k, n, dtype):
     )
     if outp is None:
         return corr, None
-    p_rows = jnp.transpose(outp[inv_safe][:, :, :k], (0, 2, 1))  # (n, k, 3)
+    p_rows = jnp.stack(
+        [o[inv_safe][:, :k] for o in outp], axis=-1
+    )  # (n, k, 3)
     pts = jnp.where(found[..., None], p_rows.astype(dtype), 0.0)
     return corr, pts
 

@@ -63,6 +63,7 @@ from .fused_grid import (
     _small_unions,
     _unsort_results,
     dilate_cells_host,
+    pack_row_meta,
 )
 
 # Widest pool class allowed: bounds the select kernel's VMEM block at
@@ -418,7 +419,12 @@ def _plan_segment_bands(
         w_need = np.maximum(
             1, 1 << np.ceil(np.log2(np.maximum(u, 1))).astype(np.int64)
         )
-        f_max = np.minimum(GROUP, w_cls // np.minimum(w_need, w_cls))
+        # Segment widths must stay multiples of META_UNIT lanes (the packed
+        # row-meta encoding) — F is additionally capped at w_cls / 16.
+        f_max = np.minimum(
+            min(GROUP, max(w_cls // 16, 1)),
+            w_cls // np.minimum(w_need, w_cls),
+        )
         bands: list[tuple[int, int, int]] = []
         s0 = 0
         while s0 < n:
@@ -477,7 +483,11 @@ def _ladder_ends(union: np.ndarray, widths: list[int]) -> list[int] | None:
 
 
 def plan_pool_host(
-    grid_host: dict, target: np.ndarray, *, force: dict | None = None
+    grid_host: dict,
+    target: np.ndarray,
+    *,
+    force: dict | None = None,
+    select_max_w: int | None = None,
 ) -> dict | None:
     """Host-only half of the pool prepack (pure numpy — sequence pipelines
     run it on the target-prep thread, models/odometry.py).
@@ -487,6 +497,10 @@ def plan_pool_host(
     fit the engine: extended LUT too large (dilate_cells_host), a window
     union beyond MAX_CLASS_LANES, or pools past MAX_POOL_BYTES — callers
     then stay on the XLA grid engine.
+
+    ``select_max_w`` overrides the backend-resolved narrow-class cutoff the
+    class-split floor derives from (tests force 0 to plan in the TPU style
+    on a CPU host; production callers leave it None).
 
     ``force`` harmonizes every STATIC dimension of the plan to caller-given
     values so several plans share one compiled program and identical array
@@ -539,8 +553,9 @@ def plan_pool_host(
     #     128 = 5 classes, 73.7 ms/iter, pool build time ~equal (0.61 vs
     #     0.67 s — build is dispatch-dominated, not gather-bound). See
     #     docs/PERF.md round-3 log.
+    smw_plan = _select_max_w() if select_max_w is None else select_max_w
     if force is None:
-        w_floor = 128 if _select_max_w() == 0 else 8
+        w_floor = 128 if smw_plan == 0 else 8
         w_pow2 = np.maximum(
             w_floor,
             1 << np.ceil(np.log2(np.maximum(union, 1))).astype(np.int64),
@@ -850,6 +865,7 @@ def build_pool_prepack(
     dtype=np.float32,
     plan: dict | None = None,
     k: int = 20,
+    select_max_w: int | None = None,
 ) -> PoolPrepack | None:
     """Build the pooled fused-search state (host plan + device packing).
 
@@ -857,7 +873,7 @@ def build_pool_prepack(
     the sequence pipeline's target-prep thread) to skip the host half here.
     """
     if plan is None:
-        plan = plan_pool_host(grid_host, target)
+        plan = plan_pool_host(grid_host, target, select_max_w=select_max_w)
     if plan is None:
         return None
     dil = plan["dil"]
@@ -866,7 +882,7 @@ def build_pool_prepack(
     # search routes classes with the SAME decision the small_unions hint
     # below was filtered with (a process whose default backend changed
     # between build and search would otherwise route inconsistently).
-    smw = _select_max_w()
+    smw = _select_max_w() if select_max_w is None else select_max_w
 
     dev = jax.device_put(
         {
@@ -956,8 +972,9 @@ def _group_by_row(source, source_valid, lut_d, origin_d, dims_d, q_lut,
     engine's behavior.
 
     Returns (padded, step_rows, order, dst, overflow):
-      padded: (s_pad, 8) sorted sources: xyz, valid flag, segment lane
-        bounds [lo, hi) in lanes 4-5 (the select kernel's row format).
+      padded: (s_pad, 4) sorted sources: xyz + packed row meta in lane 3
+        (valid flag + segment lane bounds — the select kernel's row
+        format, fused_grid.pack_row_meta).
       step_rows: (s_pad // GROUP,) POOL ROW per group (n_rows = dead).
       order / dst: sort permutation and padded-row slots (for un-sorting).
       overflow: sources past the ``s_pad`` budget (caller redoes the
@@ -1010,20 +1027,13 @@ def _group_by_row(source, source_valid, lut_d, origin_d, dims_d, q_lut,
     overflow = jnp.sum(jnp.where(dst >= s_pad, 1, 0)) - jnp.sum(dead)
 
     src_sorted = source[order]
-    lo = (f << lws).astype(dtype)
-    ws = (jnp.int32(1) << lws).astype(dtype)
-    padded = jnp.zeros((s_pad, 8), dtype)
+    lo = f << lws
+    meta = pack_row_meta(
+        jnp.ones_like(lo), lo, lo + (jnp.int32(1) << lws)
+    ).astype(dtype)
+    padded = jnp.zeros((s_pad, 4), dtype)
     padded = padded.at[dst].set(
-        jnp.concatenate(
-            [
-                src_sorted,
-                jnp.ones((n, 1), dtype),
-                lo[:, None],
-                (lo + ws)[:, None],
-                jnp.zeros((n, 2), dtype),
-            ],
-            axis=1,
-        ),
+        jnp.concatenate([src_sorted, meta[:, None]], axis=1),
         mode="drop",
     )
     step_rows = (
@@ -1034,13 +1044,14 @@ def _group_by_row(source, source_valid, lut_d, origin_d, dims_d, q_lut,
     return padded, step_rows, order, dst, overflow
 
 
-def _xla_class_select(rows8, win_xyz, win_idx, *, k, kp, radius,
+def _xla_class_select(rows4, win_xyz, win_idx, *, k, kp, radius,
                       return_points):
     """Narrow-class select in plain XLA: distances + stable ``lax.top_k``.
 
-    ``rows8``: (B*GROUP, 8) padded sources (xyz + valid flag + segment lane
-    bounds [lo, hi) in lanes 4-5 — the same row format as the Pallas
-    kernel's src block), ``win_xyz``: (B, 3, w) per-group candidate windows,
+    ``rows4``: (B*GROUP, 4) padded sources (xyz + packed row meta in lane
+    3 — the same row format as the Pallas kernel's src block,
+    fused_grid.pack_row_meta), ``win_xyz``: (B, 3, w) per-group candidate
+    windows,
     ``win_idx``: (B, w). Returns the same (outd, outi, outp) contract as
     :func:`_run_select` at ``kp`` columns. ``lax.top_k`` on the negated
     distances breaks ties toward the lower lane — exactly the
@@ -1048,17 +1059,20 @@ def _xla_class_select(rows8, win_xyz, win_idx, *, k, kp, radius,
     bit-compatible; for w <= k it is a full stable sort and no selection
     happens at all.
     """
+    from .fused_grid import _unpack_row_meta
+
     b, _, w = win_xyz.shape
     big = jnp.float32(3e38)
-    src = rows8.reshape(b, GROUP, 8).astype(jnp.float32)
+    src = rows4.reshape(b, GROUP, 4).astype(jnp.float32)
     wx = win_xyz.astype(jnp.float32)
     d = src[:, :, :3, None] - wx[:, None, :, :]  # (B, G, 3, w)
     d2 = jnp.sum(d * d, axis=2)  # (B, G, w)
-    lane = jnp.arange(w, dtype=jnp.float32)
-    seg = (lane >= src[:, :, 4:5]) & (lane < src[:, :, 5:6])
+    valid, lo, hi = _unpack_row_meta(src[:, :, 3:4])
+    lane = jnp.arange(w, dtype=jnp.int32)
+    seg = (lane >= lo) & (lane < hi)
     live = (
         (win_idx[:, None, :] >= 0)
-        & (src[:, :, 3:4] > 0)
+        & valid
         & (d2 <= jnp.float32(radius) ** 2)
         & seg
     )
@@ -1084,7 +1098,7 @@ def _xla_class_select(rows8, win_xyz, win_idx, *, k, kp, radius,
     ).reshape(b * GROUP, 3, kk)
     pts = jnp.where(found[:, None, :], pts, 0.0)
     pts = jnp.pad(pts, ((0, 0), (0, 0), (0, pad)))
-    return outd, outi, pts
+    return outd, outi, tuple(pts[:, i, :] for i in range(3))
 
 
 @partial(
@@ -1151,7 +1165,11 @@ def fused_pool_search(
     big = jnp.float32(3e38)
     outd = jnp.full((s_pad, kp), big, jnp.float32)
     outi = jnp.full((s_pad, kp), -1, jnp.int32)
-    outp = jnp.zeros((s_pad, 3, kp), jnp.float32) if return_points else None
+    outp = (
+        tuple(jnp.zeros((s_pad, kp), jnp.float32) for _ in range(3))
+        if return_points
+        else None
+    )
 
     prev_end = 0
     for c, (w_c, e_c, b_c) in enumerate(
@@ -1210,8 +1228,11 @@ def fused_pool_search(
         outd = outd.at[: b_c * GROUP].set(jnp.where(sel, res[0], outd[: b_c * GROUP]))
         outi = outi.at[: b_c * GROUP].set(jnp.where(sel, res[1], outi[: b_c * GROUP]))
         if return_points:
-            outp = outp.at[: b_c * GROUP].set(
-                jnp.where(sel[..., None], res[2], outp[: b_c * GROUP])
+            outp = tuple(
+                o.at[: b_c * GROUP].set(
+                    jnp.where(sel, r, o[: b_c * GROUP])
+                )
+                for o, r in zip(outp, res[2])
             )
         # Coverage: groups are sorted by row (descending width), so any
         # class-<=c window past this class's budget means a missed group.

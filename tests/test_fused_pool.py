@@ -205,27 +205,29 @@ def test_xla_class_select_matches_kernel():
     win_xyz[:, :, 5] = win_xyz[:, :, 2]
     rows = np.repeat(win_xyz.mean(axis=2)[:, None, :], GROUP, axis=1)
     rows = rows + rng.normal(scale=0.3, size=rows.shape).astype(np.float32)
-    rows8 = np.concatenate(
+    from probabilistic_point_clouds_registration_tpu.ops.fused_grid import (
+        pack_row_meta,
+    )
+
+    meta = float(pack_row_meta(1, 0, 4096))
+    rows4 = np.concatenate(
         [
             rows.reshape(b * GROUP, 3),
-            np.ones((b * GROUP, 1), np.float32),
-            np.zeros((b * GROUP, 1), np.float32),
-            np.full((b * GROUP, 1), 1e30, np.float32),
-            np.zeros((b * GROUP, 2), np.float32),
+            np.full((b * GROUP, 1), meta, np.float32),
         ],
         axis=1,
     )
-    rows8[-2:, 3] = 0.0  # invalid sources
+    rows4[-2:, 3] = float(pack_row_meta(0, 0, 4096))  # invalid sources
     radius = 0.9
 
     got = _xla_class_select(
-        jnp.asarray(rows8), jnp.asarray(win_xyz), jnp.asarray(win_idx),
+        jnp.asarray(rows4), jnp.asarray(win_xyz), jnp.asarray(win_idx),
         k=k, kp=kp, radius=radius, return_points=True,
     )
     w_blk = np.full((1,), w, np.int32)
     u_blk = np.full((1,), w - 3, np.int32)
     ref = _run_select(
-        jnp.asarray(rows8), jnp.asarray(win_xyz), jnp.asarray(win_idx),
+        jnp.asarray(rows4), jnp.asarray(win_xyz), jnp.asarray(win_idx),
         jnp.asarray(w_blk), jnp.asarray(u_blk),
         k=k, n_lanes=w, radius=radius, interpret=True, return_points=True,
         dyn_rounds=True,

@@ -74,14 +74,16 @@ def test_segmented_kernel_path_matches_grid_engine():
     src_p, n_src = pad_cloud(src, 128, pad_value=0.0)
     tgt_p, n_tgt = pad_cloud(tgt, 128, pad_value=0.0)
     gh = build_grid_host(tgt_p, radius, num_valid=n_tgt, max_overflow=64)
-    plan = fp.plan_pool_host(gh, tgt_p)
+    plan = fp.plan_pool_host(gh, tgt_p, select_max_w=0)  # TPU-style plan
     assert plan is not None
     assert any(
         f > 1 for bands in plan["bands"] for _, f, _ in bands
     ), "fixture must produce segment bands"
-    pre = fp.build_pool_prepack(gh, tgt_p, plan=plan, k=k)
+    pre = fp.build_pool_prepack(gh, tgt_p, plan=plan, k=k, select_max_w=0)
     sv = valid_mask(src_p.shape[0], n_src)
-    budget = round_up(max(pre.budget_rows, 2 * src_p.shape[0]), 512)
+    # 8x source rows: the drifted fixture scatters sources away from the
+    # aligned packing the plan predicted (production escalates on overflow).
+    budget = round_up(max(pre.budget_rows, 8 * src_p.shape[0]), 512)
     got, overflow, pts = fp.fused_pool_search(
         jnp.asarray(src_p, jnp.float32), sv,
         pre.pool_xyz, pre.pool_idx, pre.width_lut, pre.union_lut,
@@ -124,6 +126,7 @@ def test_segment_tie_order_within_window():
     from probabilistic_point_clouds_registration_tpu.ops.fused_grid import (
         GROUP,
         _run_select,
+        pack_row_meta,
     )
 
     w_c = 256  # pool-row lane width, two 128-lane segments
@@ -142,21 +145,18 @@ def test_segment_tie_order_within_window():
     win_xyz[0, :, 128] = [0.0, 0.0, 0.0]
     win_idx[0, 128] = 99
 
-    rows8 = np.zeros((bg * GROUP, 8), np.float32)
-    rows8[:, 5] = 1.0  # default hi=1 (valid=0 rows are dead anyway)
+    rows4 = np.zeros((bg * GROUP, 4), np.float32)
     # Row 0: source at origin, segment 0 (lo=0, hi=128).
-    rows8[0, :3] = 0.0
-    rows8[0, 3] = 1.0
-    rows8[0, 4:6] = [0.0, 128.0]
+    rows4[0, :3] = 0.0
+    rows4[0, 3] = float(pack_row_meta(1, 0, 128))
     # Row 4 (slot 4 = segment 1 at gseg=4): same source, lanes 128..256.
-    rows8[4, :3] = 0.0
-    rows8[4, 3] = 1.0
-    rows8[4, 4:6] = [128.0, 256.0]
+    rows4[4, :3] = 0.0
+    rows4[4, 3] = float(pack_row_meta(1, 128, 256))
 
     w_blk = np.full((1,), w_c, np.int32)
     u_blk = np.full((1,), 4, np.int32)
     outd, outi, _ = _run_select(
-        jnp.asarray(rows8), jnp.asarray(win_xyz), jnp.asarray(win_idx),
+        jnp.asarray(rows4), jnp.asarray(win_xyz), jnp.asarray(win_idx),
         jnp.asarray(w_blk), jnp.asarray(u_blk),
         k=4, n_lanes=w_c, radius=3.0, interpret=True, return_points=False,
         dyn_rounds=True,
