@@ -77,24 +77,51 @@ def run_once(src, tgt, n_iter: int):
     return time.perf_counter() - t0, reg
 
 
-def measure(n_points: int, n_iter: int, repeats: int):
+def measure(n_points: int, n_iter: int, repeats: int, blocks: int):
+    """Median-of-block-minima protocol against service-window noise.
+
+    The tunneled-TPU service shows multi-minute windows of degraded latency
+    (docs/PERF.md: 2.1-3.2 pairs/s for identical code across one session).
+    ``blocks`` blocks of ``repeats`` pairs each run back to back; each
+    block's best pair defends against per-pair jitter, the median across
+    blocks defends against a single bad window. Returns
+    (median_best_seconds, per-block best seconds).
+    """
     src, tgt = build_pair(n_points)
     run_once(src, tgt, n_iter)  # warm-up: compile
-    times = []
-    for _ in range(repeats):
-        dt, _ = run_once(src, tgt, n_iter)
-        times.append(dt)
-    return min(times)
+    block_best = []
+    for _ in range(blocks):
+        times = [run_once(src, tgt, n_iter)[0] for _ in range(repeats)]
+        block_best.append(min(times))
+    med = sorted(block_best)[len(block_best) // 2]
+    return med, block_best
+
+
+def roundtrip_latency_ms(samples: int = 5) -> float:
+    """Host<->device roundtrip of a trivial fetch — recorded alongside the
+    headline so a degraded service window is visible in the artifact."""
+    import jax
+    import jax.numpy as jnp
+
+    x = jax.device_put(jnp.zeros(()))
+    jax.device_get(x + 1)
+    best = float("inf")
+    for _ in range(samples):
+        t0 = time.perf_counter()
+        jax.device_get(x + 1)
+        best = min(best, time.perf_counter() - t0)
+    return best * 1e3
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--points", type=int, default=35_000)
     ap.add_argument("--iters", type=int, default=15)
-    # Min over several repeats: the tunneled-TPU service shows multi-minute
-    # windows of degraded latency (measured 2.1-3.2 pairs/s for identical
-    # code across one session); more samples make the min representative.
-    ap.add_argument("--repeats", type=int, default=5)
+    # Median-of-block-minima: blocks x repeats pairs (see measure()); the
+    # tunneled-TPU service shows multi-minute windows of degraded latency
+    # (measured 2.1-3.2 pairs/s for identical code across one session).
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--blocks", type=int, default=3)
     ap.add_argument(
         "--record-cpu-baseline",
         action="store_true",
@@ -114,7 +141,12 @@ def main():
 
     enable_persistent_compilation_cache()
 
-    pair_seconds = measure(args.points, args.iters, args.repeats)
+    if args.record_cpu_baseline:
+        pair_seconds, _ = measure(args.points, args.iters, args.repeats, 1)
+    else:
+        pair_seconds, block_best = measure(
+            args.points, args.iters, args.repeats, args.blocks
+        )
     pairs_per_s = 1.0 / pair_seconds
 
     if args.record_cpu_baseline:
@@ -152,6 +184,7 @@ def main():
         if base.get("pairs_per_s"):
             vs_baseline = pairs_per_s / base["pairs_per_s"]
 
+    block_rates = sorted(1.0 / t for t in block_best)
     print(
         json.dumps(
             {
@@ -159,6 +192,10 @@ def main():
                 "value": round(pairs_per_s, 4),
                 "unit": "pairs/s",
                 "vs_baseline": round(vs_baseline, 3),
+                # Service-window spread: best pair of each of the
+                # --blocks blocks (median is the headline value).
+                "spread": [round(r, 4) for r in block_rates],
+                "roundtrip_ms": round(roundtrip_latency_ms(), 2),
             }
         )
     )

@@ -92,14 +92,14 @@ def main():
 
     @partial(jax.jit, static_argnames=tuple(statics))
     def scan_search(fs_d, sv, pool_arrs, **st):
-        (pool_xyz, pool_idx, width_lut, union_lut, q_lut, seg_lut, lut_d,
-         origin_d, dims_d) = pool_arrs
+        (pool_xyz, pool_idx, width_lut, union_lut, lut_d, origin_d,
+         dims_d) = pool_arrs
 
         def body(carry, _):
             src, acc = carry
             out = fp.fused_pool_search.__wrapped__(
-                src, sv, pool_xyz, pool_idx, width_lut, union_lut, q_lut,
-                seg_lut, lut_d, origin_d, dims_d, **st,
+                src, sv, pool_xyz, pool_idx, width_lut, union_lut, lut_d,
+                origin_d, dims_d, **st,
             )
             corr = out[0]
             # Data dependency: nudge the source by a tiny function of the
@@ -111,8 +111,7 @@ def main():
         return acc
 
     pool_arrs = (
-        pool.pool_xyz, pool.pool_idx, pool.width_lut, pool.union_lut, pool.q_lut, pool.seg_lut,
-        pool.lut_d, pool.origin_d, pool.dims_d,
+        pool.pool_xyz, pool.pool_idx, pool.width_lut, pool.union_lut, pool.lut_d, pool.origin_d, pool.dims_d,
     )
 
     t0 = time.perf_counter()

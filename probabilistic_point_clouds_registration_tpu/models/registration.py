@@ -542,8 +542,6 @@ def _registration_scan_pool(
     pool_idx,
     width_lut,
     union_lut,
-    q_lut,
-    seg_lut,
     lut_d,
     origin_d,
     dims_d,
@@ -590,8 +588,6 @@ def _registration_scan_pool(
             pool_idx,
             width_lut,
             union_lut,
-            q_lut,
-            seg_lut,
             lut_d,
             origin_d,
             dims_d,
@@ -1212,8 +1208,6 @@ class ProbabilisticRegistration:
                     pool.pool_idx,
                     pool.width_lut,
                     pool.union_lut,
-                    pool.q_lut,
-                    pool.seg_lut,
                     pool.lut_d,
                     pool.origin_d,
                     pool.dims_d,

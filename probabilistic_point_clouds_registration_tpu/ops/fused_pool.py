@@ -119,11 +119,9 @@ class PoolPrepack(NamedTuple):
         covered by pass c; the last class always covers every group).
       width_lut / union_lut: (R + 1,) per-POOL-ROW kernel width (lanes;
         dead row = 0) and max real candidate union over the row's windows.
-      q_lut / seg_lut: (UD_pad + 1,) padded-window-id -> pool row, and the
-        packed (segment f, log2(GROUP//F), log2(W//F)) metadata the
-        grouping unpacks (_group_by_row).
-      lut_d / origin_d / dims_d: extended-grid cell -> padded window id
-        mapping (same contract as the dense engine's PrepackedGrid).
+      lut_d / origin_d / dims_d: extended-grid cell -> packed
+        (pool row << 9 | segment meta) grouping key (_group_by_row; the
+        dense engine's PrepackedGrid carries plain window ids instead).
       budget_rows: static padded source-row budget for _group_by_row.
       n_dilated: static UD.
       cell_size: static float.
@@ -136,8 +134,6 @@ class PoolPrepack(NamedTuple):
     class_budgets: tuple
     width_lut: jnp.ndarray
     union_lut: jnp.ndarray
-    q_lut: jnp.ndarray
-    seg_lut: jnp.ndarray
     lut_d: jnp.ndarray
     origin_d: jnp.ndarray
     dims_d: jnp.ndarray
@@ -225,7 +221,7 @@ def _neighbor_rows(base_e, d_cells_e, off_e, *, prod_e: int):
 
 @partial(jax.jit, static_argnames=("plan_key",))
 def _build_pools(packed, cell_start, cell_count, base_e, d_cells_e, off_e,
-                 d_cells, row_vals, *, plan_key):
+                 d_cells, row_vals, qmeta_vals, *, plan_key):
     """The whole device half of the pool prepack as ONE program.
 
     ``plan_key`` is the static pool geometry from :func:`plan_pool_host`:
@@ -242,7 +238,9 @@ def _build_pools(packed, cell_start, cell_count, base_e, d_cells_e, off_e,
     widths, ends, prod_d, prod_e, dtype_name, build_bands = plan_key
     dtype = jnp.dtype(dtype_name)
     ud_pad = ends[-1] if ends else 0
-    lut_d = _scatter_lut(d_cells, row_vals, prod_d=prod_d)
+    # lut_d values are the PACKED (pool row << 9 | seg meta) grouping keys,
+    # not window ids — _group_by_row's single-gather contract.
+    lut_d = _scatter_lut(d_cells, qmeta_vals, prod_d=prod_d)
     nrows_real = _neighbor_rows(
         base_e, d_cells_e, off_e, prod_e=prod_e
     )
@@ -635,6 +633,8 @@ def plan_pool_host(
     row_vals = np.empty((ud,), np.int32)
     q_lut = np.zeros((ud_pad + 1,), np.int32)
     seg_lut = np.zeros((ud_pad + 1,), np.int32)
+    # (q_lut/seg_lut are internal here: the search consumes them PACKED
+    # into the lut_d values — one gather per source instead of three.)
     row_width_parts, row_union_parts = [], []
     est_groups_total = 0
     cls_groups = []  # per class: estimated groups (floored counts)
@@ -697,14 +697,17 @@ def plan_pool_host(
         cls_groups.append(cls_g)
         class_row_ends.append(row_cursor)
     n_rows_pad = row_cursor
+    if n_rows_pad >= (1 << 22):
+        return None  # packed (row << 9 | meta) keys need row ids < 2^22
     row_width_lut = np.concatenate(
         row_width_parts + [np.zeros((1,), np.int32)]
     )
     row_union_lut = np.concatenate(
         row_union_parts + [np.zeros((1,), np.int32)]
     )
-    q_lut[ud_pad] = n_rows_pad  # dead-window sentinel -> dead pool row
-    seg_lut[ud_pad] = 3 << 3  # f=0, gseg=GROUP, ws=1 (dropped anyway)
+    # Per real window: packed (pool row << 9) | segment meta — the lut_d
+    # scatter value (_group_by_row's single-gather contract).
+    qmeta_vals = (q_lut[row_vals] << 9) | seg_lut[row_vals]
 
     # Row budget: 1.3x margin over the occupancy-predicted row count + the
     # runtime overflow flag for drift (the estimate tracks live rows only:
@@ -794,9 +797,8 @@ def plan_pool_host(
         # ROW-indexed (pool-row numbering) kernel width / union bounds.
         "width_lut": row_width_lut,
         "union_lut": row_union_lut,
-        # Padded-window-id -> (pool row, packed segment meta) mappings.
-        "q_lut": q_lut,
-        "seg_lut": seg_lut,
+        # Per real window: packed (pool row << 9 | seg meta) lut_d values.
+        "qmeta_vals": pad1(qmeta_vals.astype(np.int32), ud_b, -1),
         "ud_pad": ud_pad,
         "n_rows_pad": n_rows_pad,
         "prod_d_pad": prod_d_pad,
@@ -894,12 +896,11 @@ def build_pool_prepack(
             "off_e": plan["off_e"],
             "d_cells": plan["d_cells"],
             "row_vals": plan["row_vals"],
+            "qmeta_vals": plan["qmeta_vals"],
             "dims_d": dil["dims_d"],
             "origin_d": dil["origin_d"].astype(dtype),
             "width_lut": plan["width_lut"],
             "union_lut": plan["union_lut"],
-            "q_lut": plan["q_lut"],
-            "seg_lut": plan["seg_lut"],
         }
     )
     # One fused device program builds everything: the dense extended-grid
@@ -928,6 +929,7 @@ def build_pool_prepack(
         dev["off_e"],
         dev["d_cells"],
         dev["row_vals"],
+        dev["qmeta_vals"],
         plan_key=plan_key,
     )
 
@@ -939,10 +941,8 @@ def build_pool_prepack(
         class_budgets=tuple(plan["budgets"]),
         width_lut=dev["width_lut"],
         union_lut=dev["union_lut"],
-        q_lut=dev["q_lut"],
-        seg_lut=dev["seg_lut"],
-        # NOTE: lut_d maps cells into the bucket-PADDED window numbering
-        # (plan_pool_host); q_lut/seg_lut map that onto pool rows.
+        # NOTE: lut_d values are packed (pool row << 9 | segment meta)
+        # grouping keys (_group_by_row), not window ids.
         lut_d=lut_d,
         origin_d=dev["origin_d"],
         dims_d=dev["dims_d"],
@@ -959,17 +959,29 @@ def build_pool_prepack(
     )
 
 
-def _group_by_row(source, source_valid, lut_d, origin_d, dims_d, q_lut,
-                  seg_lut, ud, n_rows, radius, s_pad: int):
+# Dead-window sort sentinel for the packed (pool row << 9 | seg meta) keys.
+_QMETA_DEAD = np.int32(0x7FFFFFFF)
+
+
+def _group_by_row(source, source_valid, lut_d, origin_d, dims_d,
+                  n_rows, radius, s_pad: int):
     """Segment-aware grouping: map each source to its window's POOL ROW and
     sort same-row sources into GROUP-row blocks with per-window slot ranges.
 
     The segment-packed generalization of fused_grid._group_by_window: a pool
-    row packs F windows (seg_lut meta), window f of a row owns GROUP//F
-    row slots per group, and a row's groups are shared by all its windows —
-    group count per pool row = max over its windows of
-    ceil(n_sources / (GROUP//F)). F = 1 rows reduce exactly to the dense
-    engine's behavior.
+    row packs F windows, window f of a row owns GROUP//F row slots per
+    group, and a row's groups are shared by all its windows — group count
+    per pool row = max over its windows of ceil(n_sources / (GROUP//F)).
+    F = 1 rows reduce exactly to the dense engine's behavior.
+
+    ``lut_d`` values are PACKED (pool row << 9) | segment meta
+    (f | log2(GROUP//F) << 3 | log2(W//F) << 5): one 12 B-granularity
+    gather per source delivers everything the grouping needs — element
+    gathers measured ~2.9 ms per 131k on a v5e, so the previous separate
+    window-id + q_lut + seg_lut lookups were ~6 ms/iteration of pure
+    gather dispatch. The packed keys sort pool-row-major (q in the high
+    bits), which the class-prefix budgets rely on, and distinct windows of
+    one row stay distinct sort runs (f differs in the meta bits).
 
     Returns (padded, step_rows, order, dst, overflow):
       padded: (s_pad, 4) sorted sources: xyz + packed row meta in lane 3
@@ -985,22 +997,22 @@ def _group_by_row(source, source_valid, lut_d, origin_d, dims_d, q_lut,
     ng = s_pad // GROUP
     cell = jnp.asarray(radius, dtype)
 
-    # 1. source cell -> padded window id (ud = dead window).
+    # 1. source cell -> packed (pool row, segment meta).
     ijk = jnp.floor((source - origin_d.astype(dtype)) / cell).astype(jnp.int32)
     inb = jnp.all((ijk >= 0) & (ijk < dims_d[None, :]), axis=-1) & source_valid
     safe = jnp.clip(ijk, 0, dims_d[None, :] - 1)
     lin = safe[:, 0] + dims_d[0] * (safe[:, 1] + dims_d[1] * safe[:, 2])
-    row = jnp.where(inb, lut_d[lin], -1)
-    row = jnp.where(row < 0, ud, row)
+    qmeta = jnp.where(inb, lut_d[lin], -1)
+    qmeta = jnp.where(qmeta < 0, _QMETA_DEAD, qmeta)
 
-    # 2. sort by window id (windows of one pool row are consecutive ids, so
-    # the sort is also pool-row-major); dead-window sources sort to the
-    # tail, allocate nothing, and unsort to mask=False.
-    order = jnp.argsort(row, stable=True)
-    rs = row[order]
-    dead = rs == ud
-    qs = q_lut[rs]  # pool row; dead -> n_rows
-    meta = seg_lut[rs]
+    # 2. one sort delivers both the permutation and the sorted keys
+    # (sort_key_val — a separate rs = row[order] gather costs ~3 ms);
+    # dead-window sources sort to the tail, allocate nothing, and unsort
+    # to mask=False.
+    rs, order = lax.sort_key_val(qmeta, jnp.arange(n, dtype=jnp.int32))
+    dead = rs == _QMETA_DEAD
+    qs = jnp.where(dead, n_rows, rs >> 9)
+    meta = rs & 511
     f = meta & 7
     lgseg = (meta >> 3) & 3
     lws = meta >> 5
@@ -1028,12 +1040,12 @@ def _group_by_row(source, source_valid, lut_d, origin_d, dims_d, q_lut,
 
     src_sorted = source[order]
     lo = f << lws
-    meta = pack_row_meta(
+    rmeta = pack_row_meta(
         jnp.ones_like(lo), lo, lo + (jnp.int32(1) << lws)
     ).astype(dtype)
     padded = jnp.zeros((s_pad, 4), dtype)
     padded = padded.at[dst].set(
-        jnp.concatenate([src_sorted, meta[:, None]], axis=1),
+        jnp.concatenate([src_sorted, rmeta[:, None]], axis=1),
         mode="drop",
     )
     step_rows = (
@@ -1116,8 +1128,6 @@ def fused_pool_search(
     pool_idx,
     width_lut,
     union_lut,
-    q_lut,
-    seg_lut,
     lut_d,
     origin_d,
     dims_d,
@@ -1140,7 +1150,7 @@ def fused_pool_search(
     budget was exceeded — the caller redoes the iteration on an XLA engine.
     ``class_ends`` / ``width_lut`` / ``union_lut`` live in the POOL-ROW
     numbering (segment-packed rows hold several windows — PoolPrepack);
-    ``q_lut`` / ``seg_lut`` map padded window ids onto (pool row, segment).
+    ``lut_d`` carries the packed (pool row, segment meta) grouping keys.
     ``select_max_w`` is the narrow-class cutoff frozen at prepack-build time
     (PoolPrepack.select_max_w); None resolves it from the current default
     backend (direct/legacy calls only).
@@ -1148,7 +1158,6 @@ def fused_pool_search(
     smw = _select_max_w() if select_max_w is None else select_max_w
     n = source.shape[0]
     dtype = source.dtype
-    ud = q_lut.shape[0] - 1
     n_rows = width_lut.shape[0] - 1
     # Rows padded to the LARGEST per-class block (narrow kernel classes run
     # 32-group blocks — half the per-block fixed cost of the dominant pass;
@@ -1157,8 +1166,7 @@ def fused_pool_search(
     ng = s_pad // GROUP
 
     padded, step_rows, order, dst, overflow = _group_by_row(
-        source, source_valid, lut_d, origin_d, dims_d, q_lut, seg_lut, ud,
-        n_rows, radius, s_pad
+        source, source_valid, lut_d, origin_d, dims_d, n_rows, radius, s_pad
     )
 
     kp = 32 if k <= 32 else round_up(k, 128)

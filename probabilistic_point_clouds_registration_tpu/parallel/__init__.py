@@ -25,8 +25,11 @@ from .pool_sharded import (
     ShardedPoolStepResult,
     build_sharded_pool_host,
     build_sharded_pools_device,
+    make_sharded_pool_align_scan,
     make_sharded_pool_registration_step,
 )
+from .align import DistributedRegistration
+from .grid_sharded import make_sharded_grid_align_scan
 from .search import local_topk_merge, make_target_sharded_search
 
 __all__ = [
@@ -51,5 +54,8 @@ __all__ = [
     "ShardedPoolStepResult",
     "build_sharded_pool_host",
     "build_sharded_pools_device",
+    "make_sharded_pool_align_scan",
     "make_sharded_pool_registration_step",
+    "make_sharded_grid_align_scan",
+    "DistributedRegistration",
 ]

@@ -1,0 +1,317 @@
+"""Multi-device ``align()``: the full registration product loop on a mesh.
+
+``DistributedRegistration`` is the drop-in multi-device counterpart of
+models.registration.ProbabilisticRegistration (the reference's user-facing
+unit, src/prob_point_cloud_registration.cc:63-136): same constructor shape
+plus a ``mesh``, same ``align()`` / ``report()`` / ``transformation_history``
+/ ``has_converged()`` surface, same CSV records and per-LM traces — not a
+bare one-step function. Per chunk of outer iterations the host dispatches
+ONE device program (make_sharded_pool_align_scan): the flagship pooled
+Pallas engine target-sharded over ``"targets"``, source rows and the 7x7
+EM-LM normal equations psum-reduced over ``"points"``, and the reference
+stopping rule carried on device so converged pairs stop computing
+mid-chunk. The single-device bookkeeping (transform composition, stall
+counter, MSE metrics, CSV rows) is inherited unchanged — device/host parity
+is the same contract _consume_chunk already enforces.
+
+Budget fallback: a pooled row-budget overflow first escalates the per-shard
+budget (x2, twice — recompiling one scan), then falls back to the sharded
+XLA grid engine for the rest of the pair (make_sharded_grid_align_scan) —
+the multi-device analogue of the single-device mid-pair fallback.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.params import RegistrationParams
+from ..core.se3 import np_matrix_to_quat
+from ..core.types import round_up
+from ..models.em_lm import LMConfig
+from ..models.registration import ProbabilisticRegistration
+from ..ops.voxel import voxel_downsample
+from ..utils.eval import calculate_mse
+from ..utils.ostream import OutputStream
+from .grid_sharded import (
+    build_sharded_grid_host,
+    make_sharded_grid_align_scan,
+)
+from .mesh import POINTS_AXIS, TARGETS_AXIS, make_mesh
+from .pool_sharded import (
+    build_sharded_pool_host,
+    build_sharded_pools_device,
+    make_sharded_pool_align_scan,
+)
+
+
+class DistributedRegistration(ProbabilisticRegistration):
+    """Full-outer-loop registration over a ``("points", "targets")`` mesh.
+
+    Inherits every host-side product behavior from
+    ProbabilisticRegistration (records, report CSV, convergence rule,
+    ground-truth MSE, LM traces); only construction and the per-chunk
+    device dispatch differ. Results match the single-device ``align()`` to
+    float tolerance (tests/test_distributed_align.py asserts 5e-6 on the
+    trajectory and slot-level record parity).
+    """
+
+    def __init__(
+        self,
+        source_cloud: np.ndarray,
+        target_cloud: np.ndarray,
+        params: RegistrationParams,
+        mesh: Optional[jax.sharding.Mesh] = None,
+        ground_truth_cloud: Optional[np.ndarray] = None,
+        interpret: Optional[bool] = None,
+    ):
+        params.validate()
+        self.params = params
+        self.out = OutputStream(params.verbose)
+        self.dtype = jnp.dtype(params.dtype)
+        from ..utils.compile_cache import enable_persistent_compilation_cache
+
+        enable_persistent_compilation_cache()
+
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self._dp = self.mesh.shape[POINTS_AXIS]
+        self._tp = self.mesh.shape[TARGETS_AXIS]
+        on_tpu = jax.default_backend() == "tpu"
+        self._interpret = (not on_tpu) if interpret is None else interpret
+
+        self.source_cloud = np.array(source_cloud, dtype=np.float64)
+        if params.source_filter_size > 0:
+            self.out << (
+                f"Filtering source point cloud with leaf of size "
+                f"{params.source_filter_size}\n"
+            )
+            self.filtered_source = voxel_downsample(
+                self.source_cloud, params.source_filter_size
+            )
+        else:
+            self.filtered_source = self.source_cloud.copy()
+        target = np.asarray(target_cloud, dtype=np.float64)
+        if params.target_filter_size > 0:
+            self.out << (
+                f"Filtering target point cloud with leaf of size "
+                f"{params.target_filter_size}\n"
+            )
+            target = voxel_downsample(target, params.target_filter_size)
+        self.target_cloud = target
+
+        self.ground_truth = ground_truth_cloud is not None
+        self.mse_ground_truth = 0.0
+        if self.ground_truth:
+            self.ground_truth_cloud = np.array(
+                ground_truth_cloud, dtype=np.float64
+            )
+            self.mse_ground_truth = calculate_mse(
+                self.source_cloud, self.ground_truth_cloud
+            )
+            self.out << (
+                f"Initial MSE w.r.t. ground truth: {self.mse_ground_truth}\n"
+            )
+
+        # Source rows padded so every "points" shard gets equal rows.
+        n_src = self.filtered_source.shape[0]
+        rows = round_up(round_up(n_src, params.pad_multiple), 8 * self._dp)
+        fs = np.zeros((rows, 3), np.float64)
+        fs[:n_src] = self.filtered_source
+        self._n_src = n_src
+        np_dtype = np.dtype(params.dtype)
+        P = jax.sharding.PartitionSpec
+        pspec = jax.sharding.NamedSharding(self.mesh, P(POINTS_AXIS))
+        self._filtered_src_dev = jax.device_put(fs.astype(np_dtype), pspec)
+        self._src_valid = jax.device_put(np.arange(rows) < n_src, pspec)
+        self._rows_per_shard = rows // self._dp
+
+        # Target-sharded pooled prepack (the flagship engine; harmonized
+        # per-shard plans — parallel/pool_sharded.py).
+        self._sp = build_sharded_pool_host(
+            target,
+            params.radius,
+            self._tp,
+            num_valid=target.shape[0],
+            k=params.max_neighbours,
+        )
+        if self._sp is None:
+            raise ValueError(
+                "target does not fit the sharded pooled engine (degenerate "
+                "cloud, oversized window union, or pool budget); use the "
+                "single-device ProbabilisticRegistration for this pair"
+            )
+        self._pools = build_sharded_pools_device(
+            self.mesh, self._sp, dtype=self.dtype
+        )
+
+        self._lm_config = LMConfig(
+            dof=params.dof,
+            dimension=3,
+            function_tolerance=params.function_tolerance,
+            max_iterations=params.max_inner_iterations,
+            initial_radius=params.initial_trust_region_radius,
+            min_lm_diagonal=params.min_lm_diagonal,
+            max_lm_diagonal=params.max_lm_diagonal,
+            min_relative_decrease=params.min_relative_decrease,
+            use_nonmonotonic_steps=params.use_nonmonotonic_steps,
+        )
+
+        self.transformation_history = []
+        self.records = []
+        self.iteration_times = []
+        self.inner_cap_hits = 0
+        self.current_iteration = 0
+        self.cost_drop = 0.0
+        self.num_unuseful_iter = 0
+        self.mse_prev_it = 0.0
+        self._prev_source = (
+            self.source_cloud.copy() if params.summary else None
+        )
+        self._pool_budget_boost = 0
+        self._scan = None  # built lazily per (engine, boost)
+        self._grid_state = None  # sharded grid fallback, built on demand
+
+    # -- device dispatch ----------------------------------------------------
+
+    def _conv_statics(self) -> dict:
+        p = self.params
+        return dict(
+            chunk=max(1, int(p.outer_chunk)),
+            n_iter=int(p.n_iter),
+            cost_drop_thresh=float(p.cost_drop_thresh),
+            n_cost_drop_it=int(p.n_cost_drop_it),
+        )
+
+    def _make_pool_scan(self):
+        p = self.params
+        lm = self._lm_config
+        if p.trace_inner:
+            lm = lm._replace(trace=True)
+        return make_sharded_pool_align_scan(
+            self.mesh,
+            self._sp,
+            k=p.max_neighbours,
+            radius=p.radius,
+            lm_config=lm,
+            source_rows_per_shard=self._rows_per_shard,
+            interpret=self._interpret,
+            budget_boost=self._pool_budget_boost,
+            **self._conv_statics(),
+        )
+
+    def _ensure_grid_fallback(self):
+        """Sharded XLA grid engine (built once, on first overflow past the
+        budget escalation ladder)."""
+        if self._grid_state is not None:
+            return self._grid_state
+        p = self.params
+        sg = build_sharded_grid_host(
+            self.target_cloud, p.radius, self._tp,
+            num_valid=self.target_cloud.shape[0],
+        )
+        if sg is None:
+            raise RuntimeError(
+                "pooled budget overflow and the sharded grid fallback "
+                "declined this target"
+            )
+        P = jax.sharding.PartitionSpec
+        tspec = jax.sharding.NamedSharding(self.mesh, P(TARGETS_AXIS))
+        rspec = jax.sharding.NamedSharding(self.mesh, P())
+        np_dtype = np.dtype(p.dtype)
+        lm = self._lm_config
+        if p.trace_inner:
+            lm = lm._replace(trace=True)
+        scan = make_sharded_grid_align_scan(
+            self.mesh,
+            k=p.max_neighbours,
+            radius=p.radius,
+            lm_config=lm,
+            capacity=sg.capacity,
+            **self._conv_statics(),
+        )
+        self._grid_state = (
+            scan,
+            jax.device_put(sg.bucket_pts.astype(np_dtype), tspec),
+            jax.device_put(sg.bucket_idx, tspec),
+            jax.device_put(sg.lut, tspec),
+            jax.device_put(sg.origin.astype(np_dtype), rspec),
+            jax.device_put(sg.dims, rspec),
+        )
+        return self._grid_state
+
+    def _align_loop(self) -> np.ndarray:
+        import time
+
+        p = self.params
+        q0 = jnp.asarray(p.initial_rotation, dtype=self.dtype)
+        t0 = jnp.asarray(p.initial_translation, dtype=self.dtype)
+        chunk = max(1, int(p.outer_chunk))
+        use_grid = False
+
+        converged = False
+        while not converged:
+            conv0 = (
+                np.float32(self.cost_drop),
+                np.int32(self.num_unuseful_iter),
+                np.int32(self.current_iteration),
+            )
+            if self.has_converged():
+                break
+            iter_start = time.perf_counter()
+            t_cum = self.transformation()
+            q_cum = jnp.asarray(
+                np_matrix_to_quat(t_cum[:3, :3]), dtype=self.dtype
+            )
+            t_cum_dev = jnp.asarray(t_cum[:3, 3], dtype=self.dtype)
+            if use_grid:
+                scan, bp, bi, lut, origin, dims = self._ensure_grid_fallback()
+                outs = scan(
+                    self._filtered_src_dev, self._src_valid, bp, bi, lut,
+                    origin, dims, q_cum, t_cum_dev, q0, t0, *conv0,
+                )
+                got = jax.device_get(outs)
+                converged = self._consume_chunk(got, chunk, iter_start)
+                continue
+            if self._scan is None:
+                self._scan = self._make_pool_scan()
+            outs = self._scan(
+                self._filtered_src_dev, self._src_valid, self._pools,
+                q_cum, t_cum_dev, q0, t0, *conv0,
+            )
+            got = jax.device_get(outs)
+            if int(np.sum(got[7])) > 0:
+                # Budget overflow: escalate the pooled row budget, then
+                # fall back to the sharded grid engine (see module doc).
+                # Restore the stall counter the loop-top has_converged()
+                # mutated for the discarded iteration.
+                self.num_unuseful_iter = int(conv0[1])
+                if self._pool_budget_boost < 2:
+                    self._pool_budget_boost += 1
+                    self._scan = None
+                    self.out << (
+                        "Sharded pooled budget overflow; retrying with a "
+                        f"{1 << self._pool_budget_boost}x row budget\n"
+                    )
+                else:
+                    use_grid = True
+                    self.out << (
+                        "Sharded pooled budget overflow; falling back to "
+                        "the sharded XLA grid engine for this pair\n"
+                    )
+                continue
+            converged = self._consume_chunk(
+                got[:7] + got[8:], chunk, iter_start
+            )
+
+        if self.ground_truth:
+            final = self.transformation()
+            aligned = (
+                self.source_cloud @ final[:3, :3].T + final[:3, 3]
+            )
+            self.mse_ground_truth = calculate_mse(
+                aligned, self.ground_truth_cloud
+            )
+            print(f"MSE w.r.t. ground truth: {self.mse_ground_truth}")
+        return self.transformation()

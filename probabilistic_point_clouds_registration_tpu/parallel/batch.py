@@ -247,9 +247,7 @@ def batched_pair_register_pool(
     pool_idx: tuple,  # per class: (B, n_c + 1, W_c)
     width_lut: jnp.ndarray,  # (B, R_pad + 1) per-pool-row kernel widths
     union_lut: jnp.ndarray,
-    q_lut: jnp.ndarray,  # (B, UD_pad + 1) padded window id -> pool row
-    seg_lut: jnp.ndarray,  # (B, UD_pad + 1) packed segment metadata
-    lut_d: jnp.ndarray,  # (B, prod_d_pad)
+    lut_d: jnp.ndarray,  # (B, prod_d_pad) packed grouping keys
     origin_d: jnp.ndarray,  # (B, 3)
     dims_d: jnp.ndarray,  # (B, 3)
     *,
@@ -280,10 +278,10 @@ def batched_pair_register_pool(
     q0 = jnp.array([1.0, 0.0, 0.0, 0.0], dtype)
     t0 = jnp.zeros((3,), dtype)
 
-    def one_pair(src, sv, pxyz, pidx, wl, ul, ql, sl, ld, od, dd):
+    def one_pair(src, sv, pxyz, pidx, wl, ul, ld, od, dd):
         def search(moved):
             corr, overflow, pts = fused_pool_search(
-                moved, sv, pxyz, pidx, wl, ul, ql, sl, ld, od, dd,
+                moved, sv, pxyz, pidx, wl, ul, ld, od, dd,
                 k=k, radius=radius, class_widths=class_widths,
                 class_ends=class_ends, class_budgets=class_budgets,
                 budget_rows=budget_rows, interpret=interpret,
@@ -297,7 +295,7 @@ def batched_pair_register_pool(
 
     q, t, ic, fc, nc, it, ovf = jax.vmap(one_pair)(
         sources, source_valid, pool_xyz, pool_idx, width_lut, union_lut,
-        q_lut, seg_lut, lut_d, origin_d, dims_d,
+        lut_d, origin_d, dims_d,
     )
     return BatchedPairResult(
         q=q, t=t, initial_costs=ic, final_costs=fc, num_correspondences=nc,
@@ -397,8 +395,6 @@ def _batched_pools_host(stack, counts, idx_tgt, radius, k, dtype):
         "pool_idx": pool_idx,
         "width_lut": jnp.stack([r.width_lut for r in rows]),
         "union_lut": jnp.stack([r.union_lut for r in rows]),
-        "q_lut": jnp.stack([r.q_lut for r in rows]),
-        "seg_lut": jnp.stack([r.seg_lut for r in rows]),
         "lut_d": jnp.stack([r.lut_d for r in rows]),
         "origin_d": jnp.stack([r.origin_d for r in rows]),
         "dims_d": jnp.stack([r.dims_d for r in rows]),
@@ -501,8 +497,7 @@ def run_odometry_batched(
         budgets = pools["class_budgets"][:-1] + (budget // GROUP,)
         arrays = (
             sources, sv, pools["pool_xyz"], pools["pool_idx"],
-            pools["width_lut"], pools["union_lut"], pools["q_lut"],
-            pools["seg_lut"], pools["lut_d"],
+            pools["width_lut"], pools["union_lut"], pools["lut_d"],
             pools["origin_d"], pools["dims_d"],
         )
         if mesh is not None:

@@ -222,3 +222,96 @@ def make_sharded_grid_registration_step(
         check_vma=supports_structural_replication(),
     )
     return jax.jit(sharded)
+
+
+def make_sharded_grid_align_scan(
+    mesh: jax.sharding.Mesh,
+    *,
+    k: int,
+    radius: float,
+    lm_config: LMConfig,
+    capacity: int,
+    chunk: int,
+    n_iter: int,
+    cost_drop_thresh: float,
+    n_cost_drop_it: int,
+    source_tile: int = 4096,
+):
+    """Up to ``chunk`` sharded GRID outer iterations in one device program
+    with the on-device stopping rule — the multi-device fallback scan of
+    :class:`parallel.align.DistributedRegistration` (engaged when the
+    pooled engine's row budget overflows past its escalation ladder), and
+    the grid-engine analogue of make_sharded_pool_align_scan.
+
+    Returns scan(fs, sv, bucket_pts, bucket_idx, lut, origin, dims, q_cum,
+    t_cum, q0, t0, drop0, unuseful0, it0) -> the per-slot tuple of
+    models.registration._scan_convergence outputs (without an overflow
+    column — the grid engine has no budget), every output replicated.
+    """
+    from ..models.registration import _scan_convergence
+
+    P = jax.sharding.PartitionSpec
+    cfg = lm_config._replace(axis_name=POINTS_AXIS)
+
+    def body(fs, sv, bucket_pts, bucket_idx, lut, origin, dims, q_cum,
+             t_cum, q0, t0, drop0, unuseful0, it0):
+        from ..ops.grid import grid_radius_search
+
+        def compute(qc, tc):
+            moved = quat_rotate(qc, fs) + tc
+            corr, pts = grid_radius_search(
+                moved,
+                bucket_pts,
+                bucket_idx,
+                jnp.zeros((bucket_pts.shape[0],), jnp.int32),
+                origin,
+                dims,
+                lut,
+                k=k,
+                radius=radius,
+                capacity=capacity,
+                source_valid=sv,
+                source_tile=source_tile,
+                return_points=True,
+            )
+            local_d = jnp.where(corr.mask, corr.sq_dists, jnp.inf)
+            all_d = all_gather_replicated(local_d, TARGETS_AXIS)
+            all_i = all_gather_replicated(corr.indices, TARGETS_AXIS)
+            all_p = all_gather_replicated(pts, TARGETS_AXIS)
+            best_i, best_d, found, best_p = merge_topk(
+                all_d, all_i, all_p, k=k
+            )
+            res = em_lm_solve(moved, best_p, found, q0, t0, cfg)
+            n_corr = lax.psum(jnp.sum(found.astype(jnp.int32)), POINTS_AXIS)
+            return (
+                res.q,
+                res.t,
+                res.initial_cost,
+                res.final_cost,
+                res.num_iterations,
+                res.num_successful_steps,
+                n_corr,
+                res.trace,
+            )
+
+        return _scan_convergence(
+            compute, q_cum, t_cum, drop0, unuseful0, it0, chunk=chunk,
+            n_iter=n_iter, cost_drop_thresh=cost_drop_thresh,
+            n_cost_drop_it=n_cost_drop_it,
+        )
+
+    sharded = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            P(POINTS_AXIS),
+            P(POINTS_AXIS),
+            P(TARGETS_AXIS),
+            P(TARGETS_AXIS),
+            P(TARGETS_AXIS),
+            P(), P(), P(), P(), P(), P(), P(), P(), P(),
+        ),
+        out_specs=(P(),) * 9,
+        check_vma=False,
+    )
+    return jax.jit(sharded)

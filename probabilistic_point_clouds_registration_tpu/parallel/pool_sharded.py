@@ -124,8 +124,8 @@ def build_sharded_pool_host(
 
     seed_keys = (
         "packed", "cell_start", "cell_count", "base_e", "d_cells_e",
-        "off_e", "d_cells", "row_vals", "width_lut", "union_lut",
-        "q_lut", "seg_lut",
+        "off_e", "d_cells", "row_vals", "qmeta_vals", "width_lut",
+        "union_lut",
     )
     seeds = {
         key: np.stack([p[key] for p in plans2]) for key in seed_keys
@@ -173,9 +173,7 @@ class ShardedPools(NamedTuple):
     pool_idx: tuple  # per class: (T, R_c + 1, W_c)
     width_lut: jnp.ndarray  # (T, R_pad + 1) per-pool-row kernel widths
     union_lut: jnp.ndarray  # (T, R_pad + 1)
-    q_lut: jnp.ndarray  # (T, UD_pad + 1) padded window id -> pool row
-    seg_lut: jnp.ndarray  # (T, UD_pad + 1) packed segment metadata
-    lut_d: jnp.ndarray  # (T, prod_d_pad)
+    lut_d: jnp.ndarray  # (T, prod_d_pad) packed grouping keys
     origin_d: jnp.ndarray  # (T, 3)
     dims_d: jnp.ndarray  # (T, 3)
 
@@ -198,18 +196,17 @@ def build_sharded_pools_device(
     dev = {
         key: jax.device_put(np.asarray(v), t_spec)
         for key, v in sp.seeds.items()
-        if key
-        not in ("width_lut", "union_lut", "q_lut", "seg_lut", "dims_d",
-                "origin_d")
+        if key not in ("width_lut", "union_lut", "dims_d", "origin_d")
     }
     plan_key = sp.plan_key[:4] + (np.dtype(dtype).name,) + sp.plan_key[5:]
 
     def body(packed, cell_start, cell_count, base_e, d_cells_e, off_e,
-             d_cells, row_vals):
+             d_cells, row_vals, qmeta_vals):
         sq = lambda a: a.reshape(a.shape[1:])
         pool_xyz, pool_idx, lut_d = _fp._build_pools.__wrapped__(
             sq(packed), sq(cell_start), sq(cell_count), sq(base_e),
             sq(d_cells_e), sq(off_e), sq(d_cells), sq(row_vals),
+            sq(qmeta_vals),
             plan_key=plan_key,
         )
         add = lambda a: a[None]
@@ -224,7 +221,7 @@ def build_sharded_pools_device(
         jax.shard_map(
             body,
             mesh=mesh,
-            in_specs=(P(TARGETS_AXIS),) * 8,
+            in_specs=(P(TARGETS_AXIS),) * 9,
             out_specs=(
                 (P(TARGETS_AXIS),) * nc,
                 (P(TARGETS_AXIS),) * nc,
@@ -234,6 +231,7 @@ def build_sharded_pools_device(
     )(
         dev["packed"], dev["cell_start"], dev["cell_count"], dev["base_e"],
         dev["d_cells_e"], dev["off_e"], dev["d_cells"], dev["row_vals"],
+        dev["qmeta_vals"],
     )
     pool_xyz, pool_idx, lut_d = built
     return ShardedPools(
@@ -241,8 +239,6 @@ def build_sharded_pools_device(
         pool_idx=pool_idx,
         width_lut=jax.device_put(sp.seeds["width_lut"], t_spec),
         union_lut=jax.device_put(sp.seeds["union_lut"], t_spec),
-        q_lut=jax.device_put(sp.seeds["q_lut"], t_spec),
-        seg_lut=jax.device_put(sp.seeds["seg_lut"], t_spec),
         lut_d=lut_d,
         origin_d=jax.device_put(sp.seeds["origin_d"].astype(dtype), t_spec),
         dims_d=jax.device_put(sp.seeds["dims_d"], t_spec),
@@ -299,8 +295,8 @@ def make_sharded_pool_registration_step(
         for b in sp.class_budgets[:-1]
     ) + (ng,)
 
-    def body(fs, sv, pool_xyz, pool_idx, width_lut, union_lut, q_lut,
-             seg_lut, lut_d, origin_d, dims_d, q_cum, t_cum, q0, t0):
+    def body(fs, sv, pool_xyz, pool_idx, width_lut, union_lut, lut_d,
+             origin_d, dims_d, q_cum, t_cum, q0, t0):
         sq = lambda a: a.reshape(a.shape[1:])
         moved = quat_rotate(q_cum, fs) + t_cum
         corr, overflow, pts = _fp.fused_pool_search(
@@ -310,8 +306,6 @@ def make_sharded_pool_registration_step(
             tuple(sq(x) for x in pool_idx),
             sq(width_lut),
             sq(union_lut),
-            sq(q_lut),
-            sq(seg_lut),
             sq(lut_d),
             sq(origin_d),
             sq(dims_d),
@@ -351,8 +345,6 @@ def make_sharded_pool_registration_step(
             (P(TARGETS_AXIS),) * nc,  # pool_idx per class
             P(TARGETS_AXIS),  # width_lut
             P(TARGETS_AXIS),  # union_lut
-            P(TARGETS_AXIS),  # q_lut
-            P(TARGETS_AXIS),  # seg_lut
             P(TARGETS_AXIS),  # lut_d
             P(TARGETS_AXIS),  # origin_d
             P(TARGETS_AXIS),  # dims_d
@@ -381,8 +373,173 @@ def make_sharded_pool_registration_step(
     def step(fs, sv, pools: ShardedPools, q_cum, t_cum, q0, t0):
         return jitted(
             fs, sv, pools.pool_xyz, pools.pool_idx, pools.width_lut,
-            pools.union_lut, pools.q_lut, pools.seg_lut, pools.lut_d,
-            pools.origin_d, pools.dims_d, q_cum, t_cum, q0, t0,
+            pools.union_lut, pools.lut_d, pools.origin_d, pools.dims_d,
+            q_cum, t_cum, q0, t0,
         )
 
     return step
+
+
+def make_sharded_pool_align_scan(
+    mesh: jax.sharding.Mesh,
+    sp: ShardedPoolPlan,
+    *,
+    k: int,
+    radius: float,
+    lm_config: LMConfig,
+    source_rows_per_shard: int,
+    chunk: int,
+    n_iter: int,
+    cost_drop_thresh: float,
+    n_cost_drop_it: int,
+    interpret: bool = False,
+    budget_boost: int = 0,
+    debug_replication: bool = False,
+):
+    """The FULL outer-loop chunk of :class:`DistributedRegistration`:
+    up to ``chunk`` sharded pooled outer iterations in ONE device program,
+    with the reference stopping rule carried on device.
+
+    This is the multi-device analogue of
+    models.registration._registration_scan_pool: the per-iteration compute
+    is the sharded pooled search + all-gather top-k merge + psum'd EM-LM
+    solve of :func:`make_sharded_pool_registration_step`, wrapped in
+    models.registration._scan_convergence so converged pairs stop computing
+    mid-chunk and the host syncs once per chunk — the same product contract
+    (history, CSV records, per-LM traces, overflow fallback) as the
+    single-device ``align()``
+    (reference unit: src/prob_point_cloud_registration.cc:63-136).
+
+    The stopping-rule inputs (q_cum, cost drop, stall counter) are
+    replicated scalars, so every device takes the same ``lax.cond`` branch
+    and the collectives inside the compute branch stay uniform across the
+    mesh.
+
+    ``budget_boost`` doubles the per-shard row budget per unit (the
+    host-side overflow-escalation ladder). ``debug_replication`` adds a
+    runtime check that the merged results really are replicated along the
+    ``"targets"`` axis (the property check_vma=False stops asserting
+    statically): any divergence poisons the emitted costs with NaN.
+
+    Returns scan(fs, sv, pools, q_cum, t_cum, q0, t0, drop0, unuseful0,
+    it0) -> per-slot tuple (q, t, initial_cost, final_cost, num_iterations,
+    num_successful_steps, n_corr, overflow, trace, executed), every output
+    replicated.
+    """
+    from ..models.registration import _scan_convergence
+
+    P = jax.sharding.PartitionSpec
+    cfg = lm_config._replace(axis_name=POINTS_AXIS)
+    budget = round_up(
+        max(sp.budget_rows << budget_boost, 8 * source_rows_per_shard),
+        2 * BLOCK_GROUPS * GROUP,
+    )
+    ng = budget // GROUP
+    scale = max(1, -(-budget // max(sp.budget_rows, 1)))
+    budgets = tuple(
+        min(ng, round_up(b * scale, BLOCK_GROUPS))
+        for b in sp.class_budgets[:-1]
+    ) + (ng,)
+
+    def body(fs, sv, pool_xyz, pool_idx, width_lut, union_lut, lut_d,
+             origin_d, dims_d, q_cum, t_cum, q0, t0, drop0, unuseful0, it0):
+        sq = lambda a: a.reshape(a.shape[1:])
+
+        def compute(qc, tc):
+            moved = quat_rotate(qc, fs) + tc
+            corr, overflow, pts = _fp.fused_pool_search(
+                moved,
+                sv,
+                tuple(sq(x) for x in pool_xyz),
+                tuple(sq(x) for x in pool_idx),
+                sq(width_lut),
+                sq(union_lut),
+                sq(lut_d),
+                sq(origin_d),
+                sq(dims_d),
+                k=k,
+                radius=radius,
+                class_widths=sp.class_widths,
+                class_ends=sp.class_ends,
+                class_budgets=budgets,
+                budget_rows=budget,
+                interpret=interpret,
+                return_points=True,
+                dyn_rounds=sp.small_unions,
+                select_max_w=sp.select_max_w,
+            )
+            local_d = jnp.where(corr.mask, corr.sq_dists, jnp.inf)
+            all_d = all_gather_replicated(local_d, TARGETS_AXIS)
+            all_i = all_gather_replicated(corr.indices, TARGETS_AXIS)
+            all_p = all_gather_replicated(pts, TARGETS_AXIS)
+            best_i, best_d, found, best_p = merge_topk(
+                all_d, all_i, all_p, k=k
+            )
+            res = em_lm_solve(moved, best_p, found, q0, t0, cfg)
+            q_out = res.q
+            if debug_replication:
+                # Runtime replication assert for the merged outputs (the
+                # property the vma checker cannot prove through the Pallas
+                # kernel): if any device's merged distances diverge from
+                # the targets-axis mean, poison the solve outputs with NaN
+                # so tests (and any parity harness) fail loudly.
+                fin = jnp.where(found, best_d, 0.0)
+                dev = jnp.max(
+                    jnp.abs(fin - lax.pmean(fin, TARGETS_AXIS))
+                )
+                q_out = q_out + jnp.where(dev == 0, 0.0, jnp.nan).astype(
+                    q_out.dtype
+                )
+            n_corr = lax.psum(jnp.sum(found.astype(jnp.int32)), POINTS_AXIS)
+            ov = lax.psum(lax.psum(overflow, TARGETS_AXIS), POINTS_AXIS)
+            return (
+                q_out,
+                res.t,
+                res.initial_cost,
+                res.final_cost,
+                res.num_iterations,
+                res.num_successful_steps,
+                n_corr,
+                ov,
+                res.trace,
+            )
+
+        return _scan_convergence(
+            compute, q_cum, t_cum, drop0, unuseful0, it0, chunk=chunk,
+            n_iter=n_iter, cost_drop_thresh=cost_drop_thresh,
+            n_cost_drop_it=n_cost_drop_it,
+        )
+
+    nc = len(sp.class_widths)
+    sharded = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            P(POINTS_AXIS),  # source rows
+            P(POINTS_AXIS),  # source validity
+            (P(TARGETS_AXIS),) * nc,
+            (P(TARGETS_AXIS),) * nc,
+            P(TARGETS_AXIS),  # width_lut
+            P(TARGETS_AXIS),  # union_lut
+            P(TARGETS_AXIS),  # lut_d
+            P(TARGETS_AXIS),  # origin_d
+            P(TARGETS_AXIS),  # dims_d
+            P(), P(), P(), P(), P(), P(), P(),
+        ),
+        out_specs=(P(),) * 10,
+        # Same check_vma story as the step factory above: pallas_call's
+        # out_shape carries no vma metadata. Replication is asserted at
+        # runtime instead (debug_replication + the parity tests).
+        check_vma=False,
+    )
+    jitted = jax.jit(sharded)
+
+    def scan(fs, sv, pools: ShardedPools, q_cum, t_cum, q0, t0, drop0,
+             unuseful0, it0):
+        return jitted(
+            fs, sv, pools.pool_xyz, pools.pool_idx, pools.width_lut,
+            pools.union_lut, pools.lut_d, pools.origin_d, pools.dims_d,
+            q_cum, t_cum, q0, t0, drop0, unuseful0, it0,
+        )
+
+    return scan

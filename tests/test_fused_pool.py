@@ -68,7 +68,7 @@ def _run_both(src, tgt, radius, k, max_overflow=64):
     budget = round_up(max(pre.budget_rows, 8 * src_p.shape[0]), 128)
     got, overflow, pts = fused_pool_search(
         jnp.asarray(src_p, jnp.float32), sv,
-        pre.pool_xyz, pre.pool_idx, pre.width_lut, pre.union_lut, pre.q_lut, pre.seg_lut, pre.lut_d, pre.origin_d,
+        pre.pool_xyz, pre.pool_idx, pre.width_lut, pre.union_lut, pre.lut_d, pre.origin_d,
         pre.dims_d, k=k, radius=radius,
         class_widths=pre.class_widths, class_ends=pre.class_ends,
         class_budgets=pre.class_budgets, budget_rows=budget,
@@ -135,7 +135,7 @@ def test_pool_budget_overflow_flag():
     sv = valid_mask(src_p.shape[0], n_src)
     got, overflow = fused_pool_search(
         jnp.asarray(src_p, jnp.float32), sv,
-        pre.pool_xyz, pre.pool_idx, pre.width_lut, pre.union_lut, pre.q_lut, pre.seg_lut, pre.lut_d, pre.origin_d,
+        pre.pool_xyz, pre.pool_idx, pre.width_lut, pre.union_lut, pre.lut_d, pre.origin_d,
         pre.dims_d, k=5, radius=0.5,
         class_widths=pre.class_widths, class_ends=pre.class_ends,
         class_budgets=pre.class_budgets, budget_rows=256,

@@ -74,8 +74,6 @@ def _single_device_pool(src_p, sv, tgt_p, n_tgt, k, radius):
         pre.pool_idx,
         pre.width_lut,
         pre.union_lut,
-        pre.q_lut,
-        pre.seg_lut,
         pre.lut_d,
         pre.origin_d,
         pre.dims_d,
@@ -227,14 +225,14 @@ def test_sharded_pool_sets_match_exactly():
         for b in sp.class_budgets[:-1]
     ) + (budget // GROUP,)
 
-    def body(fs, sv_, pool_xyz, pool_idx, width_lut, union_lut, q_lut,
-             seg_lut, lut_d, origin_d, dims_d):
+    def body(fs, sv_, pool_xyz, pool_idx, width_lut, union_lut, lut_d,
+             origin_d, dims_d):
         sq = lambda a: a.reshape(a.shape[1:])
         corr, overflow, _ = fp.fused_pool_search(
             fs, sv_,
             tuple(sq(x) for x in pool_xyz), tuple(sq(x) for x in pool_idx),
-            sq(width_lut), sq(union_lut), sq(q_lut), sq(seg_lut),
-            sq(lut_d), sq(origin_d), sq(dims_d),
+            sq(width_lut), sq(union_lut), sq(lut_d), sq(origin_d),
+            sq(dims_d),
             k=k, radius=radius, class_widths=sp.class_widths,
             class_ends=sp.class_ends, class_budgets=budgets,
             budget_rows=budget, interpret=True, return_points=True,
@@ -254,8 +252,7 @@ def test_sharded_pool_sets_match_exactly():
             in_specs=(
                 P(), P(), (P(TARGETS_AXIS),) * nc, (P(TARGETS_AXIS),) * nc,
                 P(TARGETS_AXIS), P(TARGETS_AXIS), P(TARGETS_AXIS),
-                P(TARGETS_AXIS), P(TARGETS_AXIS), P(TARGETS_AXIS),
-                P(TARGETS_AXIS),
+                P(TARGETS_AXIS), P(TARGETS_AXIS),
             ),
             out_specs=(P(), P(), P()),
             check_vma=False,
@@ -263,8 +260,8 @@ def test_sharded_pool_sets_match_exactly():
     )
     got_i, got_f, overflow = run(
         jnp.asarray(src_p, jnp.float32), jnp.asarray(sv), pools.pool_xyz,
-        pools.pool_idx, pools.width_lut, pools.union_lut, pools.q_lut,
-        pools.seg_lut, pools.lut_d, pools.origin_d, pools.dims_d,
+        pools.pool_idx, pools.width_lut, pools.union_lut, pools.lut_d,
+        pools.origin_d, pools.dims_d,
     )
     assert int(jnp.sum(overflow)) == 0
     m_ref = np.asarray(ref_corr.mask)[:n_src]
@@ -307,7 +304,7 @@ def test_forced_plan_matches_self_plan_results():
         corr, overflow = fp.fused_pool_search(
             jnp.asarray(src_p, jnp.float32), jnp.asarray(sv),
             pre.pool_xyz, pre.pool_idx, pre.width_lut, pre.union_lut,
-            pre.q_lut, pre.seg_lut, pre.lut_d, pre.origin_d, pre.dims_d,
+            pre.lut_d, pre.origin_d, pre.dims_d,
             k=k, radius=radius, class_widths=pre.class_widths,
             class_ends=pre.class_ends, class_budgets=pre.class_budgets,
             budget_rows=pre.budget_rows, interpret=True,

@@ -87,7 +87,7 @@ def test_segmented_kernel_path_matches_grid_engine():
     got, overflow, pts = fp.fused_pool_search(
         jnp.asarray(src_p, jnp.float32), sv,
         pre.pool_xyz, pre.pool_idx, pre.width_lut, pre.union_lut,
-        pre.q_lut, pre.seg_lut, pre.lut_d, pre.origin_d, pre.dims_d,
+        pre.lut_d, pre.origin_d, pre.dims_d,
         k=k, radius=radius, class_widths=pre.class_widths,
         class_ends=pre.class_ends, class_budgets=pre.class_budgets,
         budget_rows=budget, interpret=True, return_points=True,
