@@ -18,6 +18,8 @@ from .grid_sharded import (
     build_sharded_grid_host,
     make_sharded_grid_registration_step,
     merge_topk,
+    merge_topk_tree,
+    sharded_merge_topk,
 )
 from .pool_sharded import (
     ShardedPoolPlan,
@@ -49,6 +51,8 @@ __all__ = [
     "build_sharded_grid_host",
     "make_sharded_grid_registration_step",
     "merge_topk",
+    "merge_topk_tree",
+    "sharded_merge_topk",
     "ShardedPoolPlan",
     "ShardedPools",
     "ShardedPoolStepResult",

@@ -120,6 +120,94 @@ def build_sharded_grid_host(
     )
 
 
+def merge_topk_tree(local_d, local_i, local_p=None, *, k: int,
+                    axis_name: str):
+    """Butterfly top-k combine over ``axis_name``: O(k log T) payload.
+
+    The all-gather merge ships every shard's (N, k) candidates to every
+    device — payload grows LINEARLY in shard count (measured 4.9 -> 39.3 MB
+    per iteration at 1 -> 8 shards, benchmarks/SCALING_r03.json) and every
+    device then re-reduces the full (N, T*k) matrix. This recursive-halving
+    butterfly exchanges (N, k) lists with the rank XOR 2^s partner at each
+    of log2(T) stages and k-merges locally, so the per-device payload is
+    O(N * k * log T) and the reduction work O(N * k * log T) — every device
+    ends with the identical global top-k (a standard all-reduce butterfly,
+    so the outputs are replicated along the axis).
+
+    Tie semantics: each merge orders the lower-rank half first, so exact
+    distance ties resolve by a tournament shard order — the same
+    within-tie-class caveat as the all-gather merge (ops/neighbors.py:16);
+    neighbor SETS are identical whenever the k-th distance is unique.
+
+    Requires a power-of-two axis size (callers fall back to
+    :func:`merge_topk` otherwise). ``local_d`` must already carry +inf in
+    unfound slots.
+    """
+    t = lax.axis_size(axis_name)
+    assert t & (t - 1) == 0, "butterfly merge needs a pow2 axis"
+    idx = lax.axis_index(axis_name)
+    d, i, p = local_d, local_i, local_p
+    stage = 1
+    while stage < t:
+        perm = [(j, j ^ stage) for j in range(t)]
+        od = lax.ppermute(d, axis_name, perm)
+        oi = lax.ppermute(i, axis_name, perm)
+        low_first = (idx & stage) == 0
+        cat_d = jnp.where(
+            low_first,
+            jnp.concatenate([d, od], axis=1),
+            jnp.concatenate([od, d], axis=1),
+        )
+        cat_i = jnp.where(
+            low_first,
+            jnp.concatenate([i, oi], axis=1),
+            jnp.concatenate([oi, i], axis=1),
+        )
+        neg, args = lax.top_k(-cat_d, k)
+        d = -neg
+        i = jnp.take_along_axis(cat_i, args, axis=1)
+        if p is not None:
+            op = lax.ppermute(p, axis_name, perm)
+            cat_p = jnp.where(
+                low_first[..., None],
+                jnp.concatenate([p, op], axis=1),
+                jnp.concatenate([op, p], axis=1),
+            )
+            p = jnp.take_along_axis(cat_p, args[..., None], axis=1)
+        stage <<= 1
+    found = jnp.isfinite(d)
+    i = jnp.where(found, i, 0)
+    if p is None:
+        return i, d, found
+    return i, d, found, p
+
+
+def sharded_merge_topk(local_d, local_i, local_p=None, *, k: int,
+                       axis_name: str, tree: bool | None = None):
+    """Merge per-shard top-k candidate lists into the global (N, k) best.
+
+    Dispatches to the butterfly combine (O(k log T) payload) on pow2 axis
+    sizes, the all-gather merge otherwise; ``tree`` forces one of them.
+    Outputs are replicated along ``axis_name`` either way.
+    """
+    t = lax.axis_size(axis_name)
+    if tree is None:
+        tree = t & (t - 1) == 0 and t > 1
+    if tree:
+        return merge_topk_tree(
+            local_d, local_i, local_p, k=k, axis_name=axis_name
+        )
+    from .mesh import all_gather_replicated
+
+    all_d = all_gather_replicated(local_d, axis_name)
+    all_i = all_gather_replicated(local_i, axis_name)
+    all_p = (
+        None if local_p is None
+        else all_gather_replicated(local_p, axis_name)
+    )
+    return merge_topk(all_d, all_i, all_p, k=k)
+
+
 def merge_topk(all_d, all_i, all_p=None, *, k: int):
     """Merge (D, N, k) per-shard candidate sets into the global (N, k) best.
 
@@ -154,6 +242,7 @@ def make_sharded_grid_registration_step(
     lm_config: LMConfig,
     capacity: int,
     source_tile: int = 4096,
+    tree_merge: bool = False,
 ):
     """Jitted full outer iteration with the grid engine over a 2D mesh.
 
@@ -186,10 +275,10 @@ def make_sharded_grid_registration_step(
             return_points=True,
         )
         local_d = jnp.where(corr.mask, corr.sq_dists, jnp.inf)
-        all_d = all_gather_replicated(local_d, TARGETS_AXIS)
-        all_i = all_gather_replicated(corr.indices, TARGETS_AXIS)
-        all_p = all_gather_replicated(pts, TARGETS_AXIS)
-        best_i, best_d, found, best_p = merge_topk(all_d, all_i, all_p, k=k)
+        best_i, best_d, found, best_p = sharded_merge_topk(
+            local_d, corr.indices, pts, k=k, axis_name=TARGETS_AXIS,
+            tree=True if tree_merge else False,
+        )
         result = em_lm_solve(moved, best_p, found, q0, t0, cfg)
         n_corr = lax.psum(jnp.sum(found.astype(jnp.int32)), POINTS_AXIS)
         return ShardedGridStepResult(result=result, num_correspondences=n_corr)
@@ -216,10 +305,14 @@ def make_sharded_grid_registration_step(
                             trace=P()),
             num_correspondences=P(),
         ),
-        # Merge outputs are replicated along "targets" (invariant gather)
-        # and psum-reduced along "points" — statically provable when jax has
-        # all_gather_invariant; parity also asserted in tests/test_grid_sharded.py.
-        check_vma=supports_structural_replication(),
+        # Merge outputs are replicated along "targets" and psum-reduced
+        # along "points". With the all-gather merge (default) this is
+        # statically provable (all_gather_invariant -> check_vma on); the
+        # butterfly tree merge's replication is a value property the vma
+        # type system cannot express through ppermute, so tree_merge=True
+        # drops to runtime assertion (tests/test_grid_sharded.py parity +
+        # the align scan's debug_replication check).
+        check_vma=(not tree_merge) and supports_structural_replication(),
     )
     return jax.jit(sharded)
 
@@ -275,11 +368,8 @@ def make_sharded_grid_align_scan(
                 return_points=True,
             )
             local_d = jnp.where(corr.mask, corr.sq_dists, jnp.inf)
-            all_d = all_gather_replicated(local_d, TARGETS_AXIS)
-            all_i = all_gather_replicated(corr.indices, TARGETS_AXIS)
-            all_p = all_gather_replicated(pts, TARGETS_AXIS)
-            best_i, best_d, found, best_p = merge_topk(
-                all_d, all_i, all_p, k=k
+            best_i, best_d, found, best_p = sharded_merge_topk(
+                local_d, corr.indices, pts, k=k, axis_name=TARGETS_AXIS
             )
             res = em_lm_solve(moved, best_p, found, q0, t0, cfg)
             n_corr = lax.psum(jnp.sum(found.astype(jnp.int32)), POINTS_AXIS)

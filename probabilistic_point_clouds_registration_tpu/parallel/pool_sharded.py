@@ -46,7 +46,7 @@ from ..core.types import round_up
 from ..models.em_lm import LMConfig, LMResult, em_lm_solve
 from ..ops.fused_grid import BLOCK_GROUPS, GROUP
 from ..ops import fused_pool as _fp
-from .grid_sharded import merge_topk
+from .grid_sharded import merge_topk, sharded_merge_topk
 from .mesh import (
     POINTS_AXIS,
     TARGETS_AXIS,
@@ -321,10 +321,9 @@ def make_sharded_pool_registration_step(
             select_max_w=sp.select_max_w,
         )
         local_d = jnp.where(corr.mask, corr.sq_dists, jnp.inf)
-        all_d = all_gather_replicated(local_d, TARGETS_AXIS)
-        all_i = all_gather_replicated(corr.indices, TARGETS_AXIS)
-        all_p = all_gather_replicated(pts, TARGETS_AXIS)
-        best_i, best_d, found, best_p = merge_topk(all_d, all_i, all_p, k=k)
+        best_i, best_d, found, best_p = sharded_merge_topk(
+            local_d, corr.indices, pts, k=k, axis_name=TARGETS_AXIS
+        )
         result = em_lm_solve(moved, best_p, found, q0, t0, cfg)
         n_corr = lax.psum(jnp.sum(found.astype(jnp.int32)), POINTS_AXIS)
         ov = lax.psum(
@@ -469,11 +468,8 @@ def make_sharded_pool_align_scan(
                 select_max_w=sp.select_max_w,
             )
             local_d = jnp.where(corr.mask, corr.sq_dists, jnp.inf)
-            all_d = all_gather_replicated(local_d, TARGETS_AXIS)
-            all_i = all_gather_replicated(corr.indices, TARGETS_AXIS)
-            all_p = all_gather_replicated(pts, TARGETS_AXIS)
-            best_i, best_d, found, best_p = merge_topk(
-                all_d, all_i, all_p, k=k
+            best_i, best_d, found, best_p = sharded_merge_topk(
+                local_d, corr.indices, pts, k=k, axis_name=TARGETS_AXIS
             )
             res = em_lm_solve(moved, best_p, found, q0, t0, cfg)
             q_out = res.q
