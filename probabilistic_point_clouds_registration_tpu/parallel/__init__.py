@@ -23,6 +23,7 @@ from .grid_sharded import (
 )
 from .pool_sharded import (
     ShardedPoolPlan,
+    choose_pool_shard_layout,
     ShardedPools,
     ShardedPoolStepResult,
     build_sharded_pool_host,
@@ -54,6 +55,7 @@ __all__ = [
     "merge_topk_tree",
     "sharded_merge_topk",
     "ShardedPoolPlan",
+    "choose_pool_shard_layout",
     "ShardedPools",
     "ShardedPoolStepResult",
     "build_sharded_pool_host",

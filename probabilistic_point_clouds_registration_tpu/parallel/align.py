@@ -43,6 +43,7 @@ from .mesh import POINTS_AXIS, TARGETS_AXIS, make_mesh
 from .pool_sharded import (
     build_sharded_pool_host,
     build_sharded_pools_device,
+    choose_pool_shard_layout,
     make_sharded_pool_align_scan,
 )
 
@@ -66,7 +67,10 @@ class DistributedRegistration(ProbabilisticRegistration):
         mesh: Optional[jax.sharding.Mesh] = None,
         ground_truth_cloud: Optional[np.ndarray] = None,
         interpret: Optional[bool] = None,
+        layout: str = "auto",
     ):
+        if layout not in ("auto", "targets", "points"):
+            raise ValueError(f"layout must be auto|targets|points: {layout}")
         params.validate()
         self.params = params
         self.out = OutputStream(params.verbose)
@@ -112,6 +116,46 @@ class DistributedRegistration(ProbabilisticRegistration):
             )
             self.out << (
                 f"Initial MSE w.r.t. ground truth: {self.mse_ground_truth}\n"
+            )
+
+        # Occupancy-aware shard-axis choice (docs/PERF.md round-3 analysis:
+        # target-sharding inflates padded rows toward 8x on sparse scans
+        # while points-sharding is occupancy-neutral; the chooser compares
+        # estimated per-device select-kernel lane work both ways).
+        self._layout_estimate = None
+        want = layout
+        if want == "auto":
+            if self._tp > 1:
+                pts = self.target_cloud
+                ijk = np.floor(
+                    (pts - pts.min(axis=0)) / params.radius
+                ).astype(np.int64)
+                dims = ijk.max(axis=0) + 1
+                lin = ijk[:, 0] + dims[0] * (ijk[:, 1] + dims[1] * ijk[:, 2])
+                self._layout_estimate = choose_pool_shard_layout(
+                    self.filtered_source.shape[0],
+                    pts.shape[0],
+                    np.unique(lin).size,
+                    self._dp * self._tp,
+                    self._tp,
+                )
+                want = self._layout_estimate["layout"]
+            else:
+                want = "targets"
+        if want == "points" and self._tp > 1:
+            # Collapse every device onto the "points" axis (device order —
+            # and so ICI adjacency — is preserved; the targets axis becomes
+            # size 1 and the top-k merge degenerates to a no-op).
+            devs = self.mesh.devices.reshape(-1)
+            self.mesh = make_mesh(devs.size, 1, devices=devs)
+            self._dp, self._tp = int(devs.size), 1
+        self.layout = "points" if want == "points" else "targets"
+        if self._layout_estimate is not None:
+            e = self._layout_estimate
+            self.out << (
+                f"Shard layout: {self.layout} (est. lane work targets="
+                f"{e['w_targets']:.3g} points={e['w_points']:.3g}, "
+                f"occupancy/devrow={e['occ_per_devrow']:.2f})\n"
             )
 
         # Source rows padded so every "points" shard gets equal rows.

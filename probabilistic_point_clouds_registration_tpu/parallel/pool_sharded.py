@@ -74,6 +74,73 @@ class ShardedPoolPlan(NamedTuple):
     select_max_w: int | None
 
 
+def choose_pool_shard_layout(
+    n_src: int,
+    n_tgt: int,
+    occupied_cells: int,
+    n_devices: int,
+    tp: int,
+    *,
+    select_max_w: int | None = None,
+) -> dict:
+    """Occupancy-aware shard-axis decision for the pooled engine.
+
+    Target-axis sharding shrinks per-shard window unions ~tp-fold (fewer
+    select-kernel extraction rounds) but keeps EVERY device's full source
+    slice grouping against ~the same window set — per-window source
+    occupancy thins toward 1 and each live window still costs a full
+    8-row group, so sparse scans inflate padded rows toward
+    8 x sources/devrow (the 8x budget make_sharded_pool_registration_step
+    must provision). Points-only sharding (all devices on the ``"points"``
+    axis) divides sources S ways at UNCHANGED window widths — occupancy-
+    neutral, no top-k merge traffic at all.
+
+    This chooser estimates per-device select-kernel lane work both ways
+    from three cheap host statistics (no dilation, no plan build):
+
+      U  = occupied grid cells ~= candidate windows
+      w  = 27 * n_tgt / U      mean window union lanes (27-cell stencil
+                               at mean cell occupancy), clamped to the
+                               backend width floor AFTER the tp split —
+                               on TPU (floor 128) a union already under
+                               128 lanes gains NOTHING from sharding
+      rows(m) = 8 * min(U, m) * ceil(max(m/U, 1) / 8)
+                               live windows x 8-row groups for m sources
+
+      W_targets = rows(n_src / (S/tp)) * clamp(w / tp)
+      W_points  = rows(n_src / S)      * clamp(w)
+
+    Returns {"layout": "targets"|"points", "w_targets", "w_points",
+    "occ_per_devrow"}. ``layout`` is "points" when W_points wins (only
+    possible when padding inflation beats the width shrink — the
+    occupancy threshold the round-3 analysis called for, docs/PERF.md
+    "realistic multi-chip efficiency bound is set by occupancy").
+    """
+    smw = _fp._select_max_w() if select_max_w is None else select_max_w
+    floor = 128 if smw == 0 else 8
+    u = max(int(occupied_cells), 1)
+    w_bar = 27.0 * n_tgt / u
+
+    def clamp(w: float) -> int:
+        return max(1 << int(np.ceil(np.log2(max(w, 1.0)))), floor)
+
+    def rows(m: float) -> float:
+        live = min(float(u), m)
+        occ = max(m / u, 1.0)
+        return 8.0 * live * np.ceil(occ / 8.0)
+
+    tp = max(1, min(tp, n_devices))
+    dp = max(1, n_devices // tp)
+    w_targets = rows(n_src / dp) * clamp(w_bar / tp)
+    w_points = rows(n_src / n_devices) * clamp(w_bar)
+    return {
+        "layout": "points" if w_points < w_targets else "targets",
+        "w_targets": float(w_targets),
+        "w_points": float(w_points),
+        "occ_per_devrow": float(n_src / dp / u),
+    }
+
+
 def build_sharded_pool_host(
     target: np.ndarray,
     cell_size: float,
