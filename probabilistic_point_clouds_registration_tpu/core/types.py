@@ -41,15 +41,21 @@ def pow2(n: int) -> int:
     return 1 << (max(int(n), 2) - 1).bit_length()
 
 
-def bucket_rows(n: int, floor: int = 64) -> int:
-    """Round ``n`` up at ~12.5% granularity (pow2/8 steps, >= ``floor``).
+def bucket_rows(n: int, floor: int = 64, step_bits: int = 4) -> int:
+    """Round ``n`` up at pow2 / 2**(step_bits-1) granularity (>= ``floor``;
+    the default is ~12.5% steps).
 
     Static shapes derived from bucketed sizes repeat across scans of
     similar geometry, so per-pair jit programs are compiled once per
-    sequence instead of once per pair.
+    sequence instead of once per pair. Sizes that JITTER across scans of
+    one sequence right at a bucket boundary should use ``step_bits=3``
+    (~25% steps): a KITTI-like sequence alternated one segment band
+    between 26624 and 28672 padded windows, recompiling the ~minutes
+    KITTI-scale scan program every OTHER pair — the coarser bucket eats
+    the jitter for a few hundred KB of dead pool rows.
     """
     n = max(int(n), floor)
-    q = max(floor, 1 << max(n.bit_length() - 4, 0))
+    q = max(floor, 1 << max(n.bit_length() - step_bits, 0))
     return round_up(n, q)
 
 

@@ -49,7 +49,7 @@ from ..core.se3 import (
     quat_normalize,
     unit_quat_rotate,
 )
-from ..core.types import pad_cloud, round_up, valid_mask
+from ..core.types import bucket_rows, pad_cloud, round_up, valid_mask
 from ..ops.neighbors import radius_search
 from ..ops.voxel import voxel_downsample
 from ..utils.eval import calculate_mse
@@ -827,6 +827,7 @@ class ProbabilisticRegistration:
         # forces the mid-pair fallback (_ensure_grid_device).
         self._prepack = None
         self._pool = None
+        self._pool_budget_base = 0
         self._fused_interpret = False
         if grid is not None and params.search_impl in ("auto", "fused", "pool"):
             on_tpu = jax.default_backend() == "tpu"
@@ -851,15 +852,49 @@ class ProbabilisticRegistration:
                 # re-run the ~0.5 s plan on the ctor critical path just to
                 # decline again.
                 if pool is None and plan is not False:
-                    pool = _fp.build_pool_prepack(
-                        grid,
-                        prepared_target["tg"],
-                        dtype=np_dtype,
-                        plan=plan,
-                        k=params.max_neighbours,
-                    )
+                    if plan is None:
+                        plan = _fp.plan_pool_host(grid, prepared_target["tg"])
+                    if plan is not None:
+                        pool = _fp.build_pool_prepack(
+                            grid,
+                            prepared_target["tg"],
+                            dtype=np_dtype,
+                            plan=plan,
+                            k=params.max_neighbours,
+                        )
                 if pool is not None:
                     self._pool = pool
+                    # Size the row budget from the REAL source's grouping
+                    # demand (~20 ms of numpy at 131k): the plan's
+                    # target-occupancy proxy undercounts real pairs ~1.5x
+                    # (moved sources land in dilated shell cells the proxy
+                    # scores 0), and the resulting runtime overflow cost a
+                    # discarded chunk + a SECOND ~minutes remote compile on
+                    # every sequence's first pair. The overflow flag stays
+                    # as the guard for intra-pair drift.
+                    if plan:
+                        from ..core.se3 import np_quat_to_matrix
+
+                        rot = np_quat_to_matrix(
+                            np.asarray(params.initial_rotation, np.float64)
+                        )
+                        moved0 = (
+                            self.filtered_source @ rot.T
+                            + np.asarray(
+                                params.initial_translation, np.float64
+                            )
+                        )
+                        demand = _fp.estimate_pool_demand_rows(
+                            plan, moved0
+                        )
+                        # ~25% buckets: per-pair demand jitters and the
+                        # budget is a static of the scan program.
+                        self._pool_budget_base = max(
+                            pool.budget_rows,
+                            bucket_rows(int(1.25 * demand), step_bits=3),
+                        )
+                    else:
+                        self._pool_budget_base = pool.budget_rows
                     self._fused_interpret = not on_tpu
                     self.out << (
                         f"Pooled engine: {pool.n_dilated} dilated cells, "
@@ -1196,7 +1231,7 @@ class ProbabilisticRegistration:
                 fchunk = max(1, int(p.outer_chunk))
                 budget = round_up(
                     max(
-                        pool.budget_rows << self._pool_budget_boost,
+                        self._pool_budget_base << self._pool_budget_boost,
                         self._filtered_src_dev.shape[0] + 4096,
                     ),
                     2048,

@@ -607,7 +607,10 @@ def plan_pool_host(
             layout = []
             for wa, f, nb in bands_c:
                 floor = max(64, (1 << 20) // (16 * max(wa, 1)))
-                layout.append((wa, f, nb, _bucket_rows(nb, floor)))
+                # step_bits=3 (~25% buckets): band sizes jitter across a
+                # sequence's scans and a boundary flip recompiles the
+                # whole scan program (see core.types.bucket_rows).
+                layout.append((wa, f, nb, _bucket_rows(nb, floor, 3)))
             band_layout.append(layout)
         pad_sizes = [sum(b[3] for b in layout) for layout in band_layout]
     else:
@@ -714,7 +717,8 @@ def plan_pool_host(
     # dead-window sources are dropped by the grouping).
     est_rows = GROUP * est_groups_total
     budget_rows = round_up(
-        _bucket_rows(max(int(1.3 * est_rows), n)), 2 * BLOCK_GROUPS * GROUP
+        _bucket_rows(max(int(1.3 * est_rows), n), step_bits=3),
+        2 * BLOCK_GROUPS * GROUP,
     )
     ng = budget_rows // GROUP
 
@@ -730,7 +734,7 @@ def plan_pool_host(
             budgets.append(ng)
         else:
             b = round_up(
-                _bucket_rows(2 * cum_groups + 4 * BLOCK_GROUPS, 1024),
+                _bucket_rows(2 * cum_groups + 4 * BLOCK_GROUPS, 1024, 3),
                 BLOCK_GROUPS,
             )
             budgets.append(min(ng, b))
@@ -744,9 +748,11 @@ def plan_pool_host(
     if force is None:
         prod_e_pad = _pow2(dil["prod_e"])
         prod_d_pad = _pow2(dil["prod_d"])
-        u_pad = _bucket_rows(u)
-        n_pad = _bucket_rows(n + 1)
-        ud_b = _bucket_rows(ud)
+        # ~25% buckets: these counts jitter scan-to-scan in a sequence and
+        # any flip re-specializes the build/search programs (bucket_rows).
+        u_pad = _bucket_rows(u, step_bits=3)
+        n_pad = _bucket_rows(n + 1, step_bits=3)
+        ud_b = _bucket_rows(ud, step_bits=3)
     else:
         prod_e_pad = force["prod_e_pad"]
         prod_d_pad = force["prod_d_pad"]
@@ -859,6 +865,55 @@ def plan_pool_host_group(grids: list, targets: list) -> list | None:
             return None
         out.append(p2)
     return out
+
+
+def estimate_pool_demand_rows(plan: dict, source: np.ndarray,
+                              num_valid: int | None = None) -> int:
+    """EXACT padded-row demand of ``_group_by_row`` for a real source cloud.
+
+    The plan's row budget is estimated from target occupancy (sources are
+    assumed to land like targets). Real pairs drift: moved sources fall in
+    dilated shell cells whose center-count proxy is 0, and each such window
+    still costs a full group of rows — measured 330k real rows vs a 213k
+    budget on a KITTI-like sequence pair (1.55x), which tripped the runtime
+    overflow flag and forced a discarded chunk + a SECOND ~minutes scan
+    compile on the remote TPU compiler every first pair.
+
+    This replays the grouping arithmetic in vectorized numpy (~20 ms at
+    131k): per (pool row, segment) source counts -> per row
+    ``GROUP * max_i ceil(c_i / gseg)`` using the same packed seg meta the
+    device consumes. Callers size the search budget as
+    ``max(plan_budget, margin * demand)`` so the first dispatched program
+    already covers the real pair (the overflow flag stays as the guard for
+    intra-pair drift).
+    """
+    dil = plan["dil"]
+    n = num_valid if num_valid is not None else source.shape[0]
+    pts = np.asarray(source[:n], dtype=np.float64)
+    dims_d = np.asarray(dil["dims_d"], dtype=np.int64)
+    cell = float(plan["cell_size"])
+    ijk = np.floor((pts - np.asarray(dil["origin_d"])) / cell).astype(
+        np.int64
+    )
+    inb = np.all((ijk >= 0) & (ijk < dims_d), axis=1)
+    lin = ijk[inb, 0] + dims_d[0] * (ijk[inb, 1] + dims_d[1] * ijk[inb, 2])
+    size = int(plan["prod_d_pad"]) + 1
+    lut = np.full(size, -1, np.int64)
+    d_cells = plan["d_cells"]
+    lut[d_cells] = plan["qmeta_vals"]
+    q = lut[lin]
+    q = q[q >= 0]
+    if q.size == 0:
+        return 0
+    # One unique over (row << 9 | seg-meta) keys: rows are the high bits so
+    # unique's sorted output is row-contiguous for the reduceat below.
+    keys, counts = np.unique(q, return_counts=True)
+    gseg = 1 << ((keys >> 3) & 3)
+    contrib = -(-counts // gseg)
+    rows = keys >> 9
+    starts = np.flatnonzero(np.diff(rows, prepend=rows[0] - 1))
+    per_row_max = np.maximum.reduceat(contrib, starts)
+    return int(GROUP * per_row_max.sum())
 
 
 def build_pool_prepack(
