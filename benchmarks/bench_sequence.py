@@ -98,26 +98,37 @@ def main():
         outer_chunk=12 if args.kitti_like else 4,
         max_inner_iterations=50 if args.kitti_like else 100,
     )
-    t0 = time.perf_counter()
-    result = run_odometry(scans, params)
-    seconds = time.perf_counter() - t0
-    n_pairs = len(result.relative_transforms)
+    # Two passes: the cold pass pays every one-time cost (the KITTI-scale
+    # scan program costs ~minutes on the remote TPU compiler in bad service
+    # windows, and execution itself shows multi-second stalls on the
+    # tunnel: an identical cached program measured 0.76 s and 55 s minutes
+    # apart); the steady pass re-runs the identical sequence with every
+    # program compiled and is the pipeline-throughput number the
+    # prep-thread overlap targets. Both are emitted.
+    for phase in ("cold", "steady"):
+        t0 = time.perf_counter()
+        result = run_odometry(scans, params)
+        seconds = time.perf_counter() - t0
+        n_pairs = len(result.relative_transforms)
 
-    record = {
-        "config": label,
-        "radius": radius,
-        "metric": "scan_pairs_per_s",
-        "value": round(n_pairs / seconds, 4),
-        "unit": "pairs/s",
-        "n_pairs": n_pairs,
-        "total_seconds": round(seconds, 2),
-    }
-    if gt_poses is not None:
-        from probabilistic_point_clouds_registration_tpu.utils.eval import ate_rmse
+        record = {
+            "config": label,
+            "phase": phase,
+            "radius": radius,
+            "metric": "scan_pairs_per_s",
+            "value": round(n_pairs / seconds, 4),
+            "unit": "pairs/s",
+            "n_pairs": n_pairs,
+            "total_seconds": round(seconds, 2),
+        }
+        if gt_poses is not None:
+            from probabilistic_point_clouds_registration_tpu.utils.eval import (
+                ate_rmse,
+            )
 
-        n = min(len(gt_poses), len(result.poses))
-        record["ate_rmse"] = ate_rmse(result.poses[:n], gt_poses[:n])
-    emit(record)
+            n = min(len(gt_poses), len(result.poses))
+            record["ate_rmse"] = ate_rmse(result.poses[:n], gt_poses[:n])
+        emit(record)
 
 
 if __name__ == "__main__":
