@@ -70,7 +70,9 @@ class LMConfig(NamedTuple):
     max_lm_diagonal: float = 1e32
     min_relative_decrease: float = 1e-3
     use_nonmonotonic_steps: bool = True
-    axis_name: str | None = None
+    # A tuple reduces over several mesh axes (the reduce-scatter merge
+    # shards the solve over both "points" and "targets").
+    axis_name: str | tuple | None = None
     # Record per-LM-iteration (cost, step_quality, radius, accepted) into
     # LMResult.trace — the analogue of Ceres's per-iteration summary rows in
     # ``summary.FullReport()`` that the reference prints when verbose

@@ -18,6 +18,7 @@ from .grid_sharded import (
     build_sharded_grid_host,
     make_sharded_grid_registration_step,
     merge_topk,
+    merge_topk_scatter,
     merge_topk_tree,
     sharded_merge_topk,
 )
@@ -52,6 +53,7 @@ __all__ = [
     "build_sharded_grid_host",
     "make_sharded_grid_registration_step",
     "merge_topk",
+    "merge_topk_scatter",
     "merge_topk_tree",
     "sharded_merge_topk",
     "ShardedPoolPlan",

@@ -158,9 +158,14 @@ class DistributedRegistration(ProbabilisticRegistration):
                 f"occupancy/devrow={e['occ_per_devrow']:.2f})\n"
             )
 
-        # Source rows padded so every "points" shard gets equal rows.
+        # Source rows padded so every "points" shard gets equal rows AND
+        # each shard's rows divide the targets axis (the reduce-scatter
+        # merge deals per-shard rows into tp contiguous blocks).
         n_src = self.filtered_source.shape[0]
-        rows = round_up(round_up(n_src, params.pad_multiple), 8 * self._dp)
+        rows = round_up(
+            round_up(n_src, params.pad_multiple),
+            8 * self._dp * max(1, self._tp),
+        )
         fs = np.zeros((rows, 3), np.float64)
         fs[:n_src] = self.filtered_source
         self._n_src = n_src

@@ -182,6 +182,89 @@ def merge_topk_tree(local_d, local_i, local_p=None, *, k: int,
     return i, d, found, p
 
 
+def merge_topk_scatter(local_d, local_i, local_p, *, k: int,
+                       axis_name: str):
+    """Recursive-halving REDUCE-SCATTER top-k over ``axis_name``.
+
+    The gather/tree merges leave every device holding the full (N, k)
+    merged list — but the downstream EM-LM solve is points-sharded, so a
+    targets-row's tp devices then all solve the SAME rows redundantly.
+    This combine instead halves the owned source range at each of
+    log2(T) stages (exchange the half your partner owns, k-merge what you
+    received into the half you keep), so device r of the targets axis ends
+    owning block r of N/T rows, FULLY merged — and the solve can shard
+    over BOTH mesh axes (psum over ("points", "targets")): merge traffic
+    drops to ~contrib bytes total (vs contrib x log2 T for the tree,
+    contrib x (T-1) for the ring all-gather) and solve FLOPs divide by T.
+
+    Tie semantics: each pairwise merge orders the lower-rank shard's
+    candidates first — the same tournament tie class as merge_topk_tree.
+
+    Requires a pow2 axis size and N divisible by T. Returns
+    (best_i, best_d, found, best_p, row_offset) where the first four are
+    (N/T, k) for rows [row_offset, row_offset + N/T) of the caller's local
+    source slice.
+    """
+    t = lax.axis_size(axis_name)
+    assert t & (t - 1) == 0, "reduce-scatter merge needs a pow2 axis"
+    n = local_d.shape[0]
+    assert n % t == 0, "rows must divide the targets axis"
+    idx = lax.axis_index(axis_name)
+    d, i, p = local_d, local_i, local_p
+    stages = t.bit_length() - 1
+    for s in range(stages):
+        bit_pos = stages - 1 - s
+        bit = 1 << bit_pos
+        half = d.shape[0] // 2
+        keep_low = (idx >> bit_pos) & 1 == 0
+        perm = [(j, j ^ bit) for j in range(t)]
+
+        def split(x):
+            return x[:half], x[half:]
+
+        dl, dh = split(d)
+        il, ih = split(i)
+        send_d = jnp.where(keep_low, dh, dl)
+        send_i = jnp.where(keep_low, ih, il)
+        od = lax.ppermute(send_d, axis_name, perm)
+        oi = lax.ppermute(send_i, axis_name, perm)
+        keep_d = jnp.where(keep_low, dl, dh)
+        keep_i = jnp.where(keep_low, il, ih)
+        # Lower rank's candidates first (tournament tie order): my kept
+        # half is mine (rank idx); the received half is the partner's
+        # (idx ^ bit). keep_low <=> partner rank is higher.
+        cat_d = jnp.where(
+            keep_low,
+            jnp.concatenate([keep_d, od], axis=1),
+            jnp.concatenate([od, keep_d], axis=1),
+        )
+        cat_i = jnp.where(
+            keep_low,
+            jnp.concatenate([keep_i, oi], axis=1),
+            jnp.concatenate([oi, keep_i], axis=1),
+        )
+        neg, args = lax.top_k(-cat_d, k)
+        d = -neg
+        i = jnp.take_along_axis(cat_i, args, axis=1)
+        if p is not None:
+            pl_, ph_ = split(p)
+            send_p = jnp.where(keep_low[..., None], ph_, pl_)
+            op = lax.ppermute(send_p, axis_name, perm)
+            keep_p = jnp.where(keep_low[..., None], pl_, ph_)
+            cat_p = jnp.where(
+                keep_low[..., None],
+                jnp.concatenate([keep_p, op], axis=1),
+                jnp.concatenate([op, keep_p], axis=1),
+            )
+            p = jnp.take_along_axis(cat_p, args[..., None], axis=1)
+    found = jnp.isfinite(d)
+    i = jnp.where(found, i, 0)
+    row_offset = idx * (n // t)
+    if p is None:
+        return i, d, found, None, row_offset
+    return i, d, found, p, row_offset
+
+
 def sharded_merge_topk(local_d, local_i, local_p=None, *, k: int,
                        axis_name: str, tree: bool | None = None):
     """Merge per-shard top-k candidate lists into the global (N, k) best.

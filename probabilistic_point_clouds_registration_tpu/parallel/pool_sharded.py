@@ -46,7 +46,11 @@ from ..core.types import round_up
 from ..models.em_lm import LMConfig, LMResult, em_lm_solve
 from ..ops.fused_grid import BLOCK_GROUPS, GROUP
 from ..ops import fused_pool as _fp
-from .grid_sharded import merge_topk, sharded_merge_topk
+from .grid_sharded import (
+    merge_topk,
+    merge_topk_scatter,
+    sharded_merge_topk,
+)
 from .mesh import (
     POINTS_AXIS,
     TARGETS_AXIS,
@@ -348,6 +352,11 @@ def make_sharded_pool_registration_step(
     """
     P = jax.sharding.PartitionSpec
     cfg = lm_config._replace(axis_name=POINTS_AXIS)
+    tp_size = mesh.shape[TARGETS_AXIS]
+    scatter = (
+        tp_size & (tp_size - 1) == 0
+        and source_rows_per_shard % tp_size == 0
+    )
     budget = round_up(
         max(sp.budget_rows, 8 * source_rows_per_shard),
         2 * BLOCK_GROUPS * GROUP,
@@ -388,11 +397,29 @@ def make_sharded_pool_registration_step(
             select_max_w=sp.select_max_w,
         )
         local_d = jnp.where(corr.mask, corr.sq_dists, jnp.inf)
-        best_i, best_d, found, best_p = sharded_merge_topk(
-            local_d, corr.indices, pts, k=k, axis_name=TARGETS_AXIS
-        )
-        result = em_lm_solve(moved, best_p, found, q0, t0, cfg)
-        n_corr = lax.psum(jnp.sum(found.astype(jnp.int32)), POINTS_AXIS)
+        if scatter:
+            # Reduce-scatter merge: device r of the targets axis ends
+            # owning block r of the points-row's sources, fully merged —
+            # the EM-LM solve then shards over BOTH axes (psum over
+            # ("points", "targets")), dividing solve FLOPs by tp and
+            # cutting merge traffic to ~one contribution's bytes.
+            best_i, best_d, found, best_p, off = merge_topk_scatter(
+                local_d, corr.indices, pts, k=k, axis_name=TARGETS_AXIS
+            )
+            blk = moved.shape[0] // mesh.shape[TARGETS_AXIS]
+            moved_s = lax.dynamic_slice_in_dim(moved, off, blk)
+            cfg2 = cfg._replace(axis_name=(POINTS_AXIS, TARGETS_AXIS))
+            result = em_lm_solve(moved_s, best_p, found, q0, t0, cfg2)
+            n_corr = lax.psum(
+                lax.psum(jnp.sum(found.astype(jnp.int32)), TARGETS_AXIS),
+                POINTS_AXIS,
+            )
+        else:
+            best_i, best_d, found, best_p = sharded_merge_topk(
+                local_d, corr.indices, pts, k=k, axis_name=TARGETS_AXIS
+            )
+            result = em_lm_solve(moved, best_p, found, q0, t0, cfg)
+            n_corr = lax.psum(jnp.sum(found.astype(jnp.int32)), POINTS_AXIS)
         ov = lax.psum(
             lax.psum(overflow, TARGETS_AXIS), POINTS_AXIS
         )
@@ -496,6 +523,11 @@ def make_sharded_pool_align_scan(
 
     P = jax.sharding.PartitionSpec
     cfg = lm_config._replace(axis_name=POINTS_AXIS)
+    tp_size = mesh.shape[TARGETS_AXIS]
+    scatter = (
+        tp_size & (tp_size - 1) == 0
+        and source_rows_per_shard % tp_size == 0
+    )
     budget = round_up(
         max(sp.budget_rows << budget_boost, 8 * source_rows_per_shard),
         2 * BLOCK_GROUPS * GROUP,
@@ -535,12 +567,26 @@ def make_sharded_pool_align_scan(
                 select_max_w=sp.select_max_w,
             )
             local_d = jnp.where(corr.mask, corr.sq_dists, jnp.inf)
-            best_i, best_d, found, best_p = sharded_merge_topk(
-                local_d, corr.indices, pts, k=k, axis_name=TARGETS_AXIS
-            )
-            res = em_lm_solve(moved, best_p, found, q0, t0, cfg)
+            if scatter:
+                # Reduce-scatter merge + two-axis solve (see the step
+                # factory above): outputs stay replicated because every
+                # solve quantity is psum'd over BOTH axes.
+                best_i, best_d, found, best_p, off = merge_topk_scatter(
+                    local_d, corr.indices, pts, k=k, axis_name=TARGETS_AXIS
+                )
+                blk = moved.shape[0] // tp_size
+                moved_s = lax.dynamic_slice_in_dim(moved, off, blk)
+                cfg2 = cfg._replace(
+                    axis_name=(POINTS_AXIS, TARGETS_AXIS)
+                )
+                res = em_lm_solve(moved_s, best_p, found, q0, t0, cfg2)
+            else:
+                best_i, best_d, found, best_p = sharded_merge_topk(
+                    local_d, corr.indices, pts, k=k, axis_name=TARGETS_AXIS
+                )
+                res = em_lm_solve(moved, best_p, found, q0, t0, cfg)
             q_out = res.q
-            if debug_replication:
+            if debug_replication and not scatter:
                 # Runtime replication assert for the merged outputs (the
                 # property the vma checker cannot prove through the Pallas
                 # kernel): if any device's merged distances diverge from
@@ -553,7 +599,10 @@ def make_sharded_pool_align_scan(
                 q_out = q_out + jnp.where(dev == 0, 0.0, jnp.nan).astype(
                     q_out.dtype
                 )
-            n_corr = lax.psum(jnp.sum(found.astype(jnp.int32)), POINTS_AXIS)
+            n_corr = jnp.sum(found.astype(jnp.int32))
+            if scatter:
+                n_corr = lax.psum(n_corr, TARGETS_AXIS)
+            n_corr = lax.psum(n_corr, POINTS_AXIS)
             ov = lax.psum(lax.psum(overflow, TARGETS_AXIS), POINTS_AXIS)
             return (
                 q_out,

@@ -103,6 +103,64 @@ def test_tree_merge_outputs_replicated():
         np.testing.assert_array_equal(per_dev[0, 0], per_dev[s, 0])
 
 
+@pytest.mark.parametrize("t", [2, 4, 8])
+def test_scatter_merge_matches_all_gather_blocks(t):
+    """Reduce-scatter combine: device r must end with block r of the flat
+    all-gather merge (same candidates, same distances, same found mask)."""
+    from probabilistic_point_clouds_registration_tpu.parallel import (
+        merge_topk_scatter,
+    )
+
+    n, k = 64, 5
+    assert n % t == 0
+    d, i, p = _local_lists(t, n, k, seed=20 + t)
+    mesh = make_mesh(1, t, devices=jax.devices()[:t])
+
+    def body(ld, li, lp):
+        sq = lambda a: a.reshape(a.shape[1:])
+        bi, bd, f, bp, off = merge_topk_scatter(
+            sq(ld), sq(li), sq(lp), k=k, axis_name=TARGETS_AXIS
+        )
+        # Re-gather the per-device blocks so the host can compare them
+        # against the flat merge blockwise; also emit the offsets.
+        return (
+            bi[None], bd[None], f[None], bp[None],
+            jnp.asarray(off)[None],
+        )
+
+    run = jax.jit(
+        jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P(TARGETS_AXIS),) * 3,
+            out_specs=(P(TARGETS_AXIS),) * 5,
+            check_vma=False,
+        )
+    )
+    gi, gd, gf, gp, offs = run(
+        jnp.asarray(d), jnp.asarray(i), jnp.asarray(p)
+    )
+    ri, rd, rf, rp = merge_topk(
+        jnp.asarray(d), jnp.asarray(i), jnp.asarray(p), k=k
+    )
+    blk = n // t
+    np.testing.assert_array_equal(
+        np.asarray(offs), np.arange(t) * blk
+    )
+    for r in range(t):
+        sl = slice(r * blk, (r + 1) * blk)
+        np.testing.assert_array_equal(np.asarray(gf)[r], np.asarray(rf)[sl])
+        m = np.asarray(rf)[sl]
+        np.testing.assert_array_equal(
+            np.asarray(gi)[r][m], np.asarray(ri)[sl][m]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(gd)[r][m], np.asarray(rd)[sl][m]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(gp)[r][m], np.asarray(rp)[sl][m]
+        )
+
+
 def test_sharded_merge_dispatch_non_pow2():
     """Non-pow2 axis sizes fall back to the all-gather merge."""
     t, n, k = 3, 16, 3
