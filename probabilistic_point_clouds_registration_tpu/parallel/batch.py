@@ -347,9 +347,17 @@ def _batched_grids_host(stack, counts, idx_tgt, radius):
     return bp, bi, luts, origins, dims, cap
 
 
-def _batched_pools_host(stack, counts, idx_tgt, radius, k, dtype):
+def _batched_pools_host(stack, counts, idx_tgt, radius, k, dtype,
+                        idx_src=None):
     """Per-pair POOLED prepacks harmonized to one static geometry
     (ops.fused_pool.plan_pool_host_group), stacked on the batch axis.
+
+    ``idx_src`` (per-pair source scan ids) enables the demand-sized row
+    budget: the plan's target-occupancy proxy undercounts REAL pairs
+    ~1.5x at KITTI scale (models/registration.py ctor has the same fix),
+    and in the batched engine an undercount silently sends those pairs to
+    the grid-redo splice — correct but a whole second engine pass. The
+    returned ``budget_rows`` then covers max-over-pairs real demand.
 
     Returns None when any pair declines the pooled engine — callers fall
     back to the batched grid engine.
@@ -390,6 +398,20 @@ def _batched_pools_host(stack, counts, idx_tgt, radius, k, dtype):
     )
     smw = _fp._select_max_w()
     all_unions = np.concatenate([p["dil"]["union"] for p in plans])
+    budget_rows = max(int(pres[i].budget_rows) for i in uniq_ids)
+    if idx_src is not None:
+        from ..core.types import bucket_rows
+
+        plan_of = dict(zip(uniq_ids, plans))
+        demand = max(
+            _fp.estimate_pool_demand_rows(
+                plan_of[int(t)], stack[int(s)], num_valid=int(counts[int(s)])
+            )
+            for s, t in zip(idx_src, idx_tgt)
+        )
+        budget_rows = max(
+            budget_rows, bucket_rows(int(1.25 * demand), step_bits=3)
+        )
     return {
         "pool_xyz": pool_xyz,
         "pool_idx": pool_idx,
@@ -404,7 +426,7 @@ def _batched_pools_host(stack, counts, idx_tgt, radius, k, dtype):
             int(max(pres[i].class_budgets[c] for i in uniq_ids))
             for c in range(n_classes)
         ),
-        "budget_rows": max(int(pres[i].budget_rows) for i in uniq_ids),
+        "budget_rows": budget_rows,
         "small_unions": _fp._small_unions(all_unions[all_unions > smw], k),
         "select_max_w": smw,
     }
@@ -481,7 +503,9 @@ def run_odometry_batched(
     on_tpu = jax.default_backend() == "tpu"
     pools = None
     if search_impl == "pool" or (search_impl == "auto" and on_tpu):
-        pools = _batched_pools_host(stack, counts, idx_tgt, radius, k, dtype)
+        pools = _batched_pools_host(
+            stack, counts, idx_tgt, radius, k, dtype, idx_src=idx_src
+        )
         if pools is None and search_impl == "pool":
             raise ValueError(
                 "pool engine requested but some pair declines it"
