@@ -27,6 +27,8 @@ def main():
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--mode", default="search", choices=["search", "step"])
     ap.add_argument("--no_points", action="store_true")
+    ap.add_argument("--demand_budget", action="store_true",
+                    help="probe at the demand-lifted budget the product runs")
     args = ap.parse_args()
 
     import jax
@@ -76,13 +78,29 @@ def main():
     sv = jax.device_put(np.arange(fs.shape[0]) < n_src)
     return_points = not args.no_points
 
+    budget_rows = pool.budget_rows
+    if args.demand_budget:
+        # Probe at the budget the PRODUCT actually runs: the ctor lifts the
+        # plan's target-proxy budget to cover the real source's grouping
+        # demand (models/registration.py) — glue work (grouping scatter,
+        # class blends) scales with the row budget, so loop-timing the
+        # bare plan budget would overstate the product's search.
+        from probabilistic_point_clouds_registration_tpu.core.types import (
+            bucket_rows,
+        )
+
+        demand = fp.estimate_pool_demand_rows(plan, src)
+        budget_rows = max(
+            budget_rows, bucket_rows(int(1.25 * demand), step_bits=3)
+        )
+
     statics = dict(
         k=k,
         radius=radius,
         class_widths=pool.class_widths,
         class_ends=pool.class_ends,
         class_budgets=pool.class_budgets,
-        budget_rows=pool.budget_rows,
+        budget_rows=budget_rows,
         return_points=return_points,
         dyn_rounds=pool.small_unions,
         select_max_w=pool.select_max_w,
@@ -134,7 +152,7 @@ def main():
             "return_points": return_points,
             "classes": list(pool.class_widths),
             "class_ends": list(pool.class_ends),
-            "budget_rows": pool.budget_rows,
+            "budget_rows": budget_rows,
             "plan_s": round(t_plan, 3),
             "build_settle_s": round(t_build, 3),
             "compile_s": round(t_compile, 1),
