@@ -177,13 +177,30 @@ class DistributedRegistration(ProbabilisticRegistration):
         self._rows_per_shard = rows // self._dp
 
         # Target-sharded pooled prepack (the flagship engine; harmonized
-        # per-shard plans — parallel/pool_sharded.py).
+        # per-shard plans — parallel/pool_sharded.py). The per-points-shard
+        # source slices (under the initial pose) switch the row budget to
+        # measured demand instead of the blunt 8x floor.
+        from ..core.se3 import np_quat_to_matrix
+
+        rot0 = np_quat_to_matrix(
+            np.asarray(params.initial_rotation, np.float64)
+        )
+        moved0 = self.filtered_source @ rot0.T + np.asarray(
+            params.initial_translation, np.float64
+        )
+        rps = rows // self._dp
+        slices = [
+            moved0[d * rps : min((d + 1) * rps, n_src)]
+            for d in range(self._dp)
+            if d * rps < n_src
+        ]
         self._sp = build_sharded_pool_host(
             target,
             params.radius,
             self._tp,
             num_valid=target.shape[0],
             k=params.max_neighbours,
+            source_slices=slices,
         )
         if self._sp is None:
             raise ValueError(

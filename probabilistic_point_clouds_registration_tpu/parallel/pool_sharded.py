@@ -76,6 +76,10 @@ class ShardedPoolPlan(NamedTuple):
     n_shards: int
     small_unions: bool
     select_max_w: int | None
+    # True when budget_rows already covers the measured per-(slice, shard)
+    # grouping demand of the real source — the step then drops its blunt
+    # provably-sufficient 8x source-rows floor (docs/PERF.md round-4).
+    demand_sized: bool = False
 
 
 def choose_pool_shard_layout(
@@ -152,12 +156,22 @@ def build_sharded_pool_host(
     *,
     num_valid: int | None = None,
     k: int = 20,
+    source_slices: list | None = None,
 ) -> ShardedPoolPlan | None:
     """Deal target rows round-robin into ``n_shards`` pooled prepacks.
 
     Pure numpy. Returns None when any shard declines the pooled engine
     (same conditions as plan_pool_host) — callers fall back to the sharded
     grid engine (parallel/grid_sharded.py).
+
+    ``source_slices`` (the per-points-shard source row slices the step
+    will run) switches the row budget from the blunt provably-sufficient
+    8x source-rows floor to the MEASURED grouping demand, max over every
+    (slice, target-shard) pair x1.25 (estimate_pool_demand_rows — the
+    same exact replay the single-device ctor uses). Dense scans shrink
+    their per-shard glue work up to ~5x; the runtime overflow flag plus
+    the align scan's budget-escalation ladder still guard intra-pair
+    drift.
     """
     from ..ops.grid import build_grid_host
 
@@ -219,6 +233,20 @@ def build_sharded_pool_host(
         for c in range(len(ladder))
     )
     smw = _fp._select_max_w()
+    budget_rows = max(int(p["budget_rows"]) for p in plans2)
+    demand_sized = False
+    if source_slices:
+        from ..core.types import bucket_rows
+
+        demand = max(
+            _fp.estimate_pool_demand_rows(p2, sl)
+            for p2 in plans2
+            for sl in source_slices
+        )
+        budget_rows = max(
+            budget_rows, bucket_rows(int(1.25 * demand), step_bits=3)
+        )
+        demand_sized = True
     # dyn-rounds hint from the union of all shards' kernel-class unions
     # (same filter the single-device prepack applies).
     all_unions = np.concatenate([p["dil"]["union"] for p in plans2])
@@ -228,11 +256,12 @@ def build_sharded_pool_host(
         class_widths=tuple(ladder),
         class_ends=tuple(int(e) for e in plans2[0]["row_ends"]),
         class_budgets=budgets,
-        budget_rows=max(int(p["budget_rows"]) for p in plans2),
+        budget_rows=budget_rows,
         cell_size=float(cell_size),
         n_shards=n_shards,
         small_unions=_fp._small_unions(all_unions[all_unions > smw], k),
         select_max_w=smw,
+        demand_sized=demand_sized,
     )
 
 
@@ -357,9 +386,19 @@ def make_sharded_pool_registration_step(
         tp_size & (tp_size - 1) == 0
         and source_rows_per_shard % tp_size == 0
     )
+    # Row budget: the measured-demand budget when the host plan carried
+    # source slices (sp.demand_sized — glue work scales with budget, so
+    # dense scans win up to ~5x), else the provably-sufficient 8x floor:
+    # target sharding thins per-window source occupancy toward 1 and a
+    # window holding s sources costs ceil(s/8)*8 <= s+7 rows, so
+    # 8 * n_src rows always fit.
+    floor_rows = (
+        source_rows_per_shard + 4096
+        if sp.demand_sized
+        else 8 * source_rows_per_shard
+    )
     budget = round_up(
-        max(sp.budget_rows, 8 * source_rows_per_shard),
-        2 * BLOCK_GROUPS * GROUP,
+        max(sp.budget_rows, floor_rows), 2 * BLOCK_GROUPS * GROUP
     )
     ng = budget // GROUP
     # Mid-class prefix budgets were estimated for the shard's own target
@@ -528,8 +567,13 @@ def make_sharded_pool_align_scan(
         tp_size & (tp_size - 1) == 0
         and source_rows_per_shard % tp_size == 0
     )
+    floor_rows = (
+        source_rows_per_shard + 4096
+        if sp.demand_sized
+        else 8 * source_rows_per_shard
+    )
     budget = round_up(
-        max(sp.budget_rows << budget_boost, 8 * source_rows_per_shard),
+        max(sp.budget_rows << budget_boost, floor_rows),
         2 * BLOCK_GROUPS * GROUP,
     )
     ng = budget // GROUP

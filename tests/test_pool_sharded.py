@@ -324,3 +324,57 @@ def test_forced_plan_matches_self_plan_results():
         np.asarray(a.sq_dists)[np.asarray(a.mask)],
         np.asarray(b.sq_dists)[np.asarray(b.mask)],
     )
+
+
+def test_demand_sized_sharded_budget_shrinks_and_stays_correct():
+    """source_slices switches the sharded budget from the 8x floor to
+    measured demand: the budget must SHRINK on a dense scan and the step
+    must still match the single-device engine with zero overflow."""
+    k, radius = 20, 0.075
+    n = 12_000
+    src, tgt = _bunny_pair(n)
+    src_p, n_src = pad_cloud(src, 512, pad_value=0.0)
+    tgt_p, n_tgt = pad_cloud(tgt, 512, pad_value=0.0)
+    sv = np.asarray(valid_mask(src_p.shape[0], n_src))
+    cfg = LMConfig(dof=5.0, dimension=3, max_iterations=12)
+    dp, tp = 2, 4
+    rps = src_p.shape[0] // dp
+    slices = [src[d * rps : min((d + 1) * rps, n_src)] for d in range(dp)]
+
+    mesh = make_mesh(n_points_shards=dp, n_target_shards=tp)
+    sp = build_sharded_pool_host(
+        tgt_p, radius, tp, num_valid=n_tgt, k=k, source_slices=slices
+    )
+    assert sp is not None and sp.demand_sized
+    from probabilistic_point_clouds_registration_tpu.core.types import round_up
+    from probabilistic_point_clouds_registration_tpu.ops.fused_grid import (
+        BLOCK_GROUPS,
+        GROUP,
+    )
+
+    budget = round_up(
+        max(sp.budget_rows, rps + 4096), 2 * BLOCK_GROUPS * GROUP
+    )
+    assert budget < 8 * rps, (budget, 8 * rps)
+
+    pools = build_sharded_pools_device(mesh, sp)
+    step = make_sharded_pool_registration_step(
+        mesh, sp, k=k, radius=radius, lm_config=cfg,
+        source_rows_per_shard=rps, interpret=True,
+    )
+    q0 = jnp.asarray([1.0, 0, 0, 0], jnp.float32)
+    t0 = jnp.zeros(3, jnp.float32)
+    out = step(
+        jnp.asarray(src_p, jnp.float32), jnp.asarray(sv), pools, q0, t0,
+        q0, t0,
+    )
+    assert int(out.overflow) == 0
+
+    corr, pts = _single_device_pool(src_p, sv, tgt_p, n_tgt, k, radius)
+    ref = em_lm_solve(
+        jnp.asarray(src_p, jnp.float32), pts, corr.mask, q0, t0, cfg
+    )
+    assert int(out.num_correspondences) == int(jnp.sum(corr.mask))
+    np.testing.assert_allclose(
+        np.asarray(out.result.t), np.asarray(ref.t), rtol=0, atol=5e-6
+    )
