@@ -7,7 +7,7 @@ and block_until_ready is unreliable — every number here scans the op
 reduction).
 
 Usage: python benchmarks/probe_search.py [--points 131072] [--fixture kitti]
-       [--iters 10] [--mode search|step|align]
+       [--iters 10]
 """
 from __future__ import annotations
 
@@ -25,7 +25,6 @@ def main():
     ap.add_argument("--fixture", default="kitti", choices=["kitti", "bunny"])
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--repeats", type=int, default=3)
-    ap.add_argument("--mode", default="search", choices=["search", "step"])
     ap.add_argument("--no_points", action="store_true")
     ap.add_argument("--demand_budget", action="store_true",
                     help="probe at the demand-lifted budget the product runs")

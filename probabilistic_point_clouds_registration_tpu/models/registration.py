@@ -1229,11 +1229,15 @@ class ProbabilisticRegistration:
             if self._pool is not None:
                 pool = self._pool
                 fchunk = max(1, int(p.outer_chunk))
+                # Boost the EFFECTIVE budget: boosting only the base is a
+                # no-op whenever the source-rows floor dominates (the retry
+                # would re-dispatch the identical program).
                 budget = round_up(
                     max(
-                        self._pool_budget_base << self._pool_budget_boost,
+                        self._pool_budget_base,
                         self._filtered_src_dev.shape[0] + 4096,
-                    ),
+                    )
+                    << self._pool_budget_boost,
                     2048,
                 )
                 outs = _registration_scan_pool(

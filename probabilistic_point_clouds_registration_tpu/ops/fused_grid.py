@@ -627,7 +627,7 @@ def _select_kernel(wb_ref, ub_ref, xyz_ref, idx_ref, src_ref, outd_ref,
 
 
 def _group_by_window(source, source_valid, lut_d, origin_d, dims_d, ud,
-                     radius, s_pad: int):
+                     radius, s_pad: int, n_lanes: int = 4096):
     """Phases 1-2 of the fused engines: map each source to its window row and
     sort same-window sources into cell-pure GROUP-row blocks.
 
@@ -679,7 +679,12 @@ def _group_by_window(source, source_valid, lut_d, origin_d, dims_d, ud,
     overflow = jnp.sum(jnp.where(dst >= s_pad, 1, 0)) - jnp.sum(dead)
 
     src_sorted = source[order]
-    meta = jnp.asarray(pack_row_meta(1, 0, 4096), dtype)
+    # Segment bound must cover the engine's FULL window width: the dense
+    # engine has no 4096-lane cap (capacity-driven widths regularly exceed
+    # it on near-sensor LiDAR cores), and the select kernel's segment mask
+    # silently drops any candidate past ``hi`` — a hardcoded 4096 here made
+    # lanes >= 4096 invisible (wrong neighbors, overflow=0).
+    meta = jnp.asarray(pack_row_meta(1, 0, n_lanes), dtype)
     padded = jnp.zeros((s_pad, 4), dtype)
     padded = padded.at[dst].set(
         jnp.concatenate(
@@ -816,7 +821,8 @@ def fused_grid_search(
     ng = s_pad // GROUP
 
     padded, step_rows, order, dst, overflow = _group_by_window(
-        source, source_valid, lut_d, origin_d, dims_d, ud, radius, s_pad
+        source, source_valid, lut_d, origin_d, dims_d, ud, radius, s_pad,
+        n_lanes=n_lanes,
     )
 
     # 3. one window gather per group (contiguous multi-KB rows).

@@ -572,8 +572,11 @@ def make_sharded_pool_align_scan(
         if sp.demand_sized
         else 8 * source_rows_per_shard
     )
+    # Boost the EFFECTIVE budget (max of plan and floor): boosting only
+    # sp.budget_rows is a no-op whenever the floor dominates — the retry
+    # would re-dispatch an identical program and overflow again.
     budget = round_up(
-        max(sp.budget_rows << budget_boost, floor_rows),
+        max(sp.budget_rows, floor_rows) << budget_boost,
         2 * BLOCK_GROUPS * GROUP,
     )
     ng = budget // GROUP

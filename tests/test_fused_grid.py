@@ -144,3 +144,53 @@ def test_fused_registration_matches_grid_engine():
             assert reg._prepack is not None, "fused engine must have engaged"
         finals[impl] = T
     np.testing.assert_allclose(finals["fused"], finals["grid"], atol=1e-5)
+
+
+def test_fused_wide_windows_past_4096_lanes():
+    """Regression: windows wider than 4096 lanes (dense near-sensor core —
+    capacity-driven widths the pool engine declines and routes here) must
+    not lose candidates. A hardcoded segment bound of 4096 in
+    _group_by_window made lanes >= 4096 invisible to the select kernel:
+    wrong neighbors with overflow=0."""
+    rng = np.random.default_rng(3)
+    # A 3x3x3 block of hot cells (~200 points each): the center cell's
+    # 27-cell union is ~5400 candidates > 4096 lanes (while << M so the
+    # grid build doesn't decline for brute force). The TRUE nearest
+    # neighbors are planted in the (+1,+1,+1) neighbor — offset 26, the
+    # LAST window segment, lanes ~5200 — so the old hardcoded 4096-lane
+    # segment bound masked exactly them. An anchor point at the origin
+    # pins the grid so cell boundaries sit at exact multiples of 0.25.
+    cell = 0.25
+    ks = [1, 2, 3]
+    centers = (
+        (np.stack(np.meshgrid(ks, ks, ks), axis=-1).reshape(-1, 3) + 0.5)
+        * cell
+    ).astype(np.float32)
+    vertex = np.float32(3 * cell)  # corner shared by center & (3,3,3) cell
+    core = []
+    for c in centers:
+        if np.all(c > vertex):  # the (3,3,3) cell: plant it AT the vertex
+            pts = vertex + np.abs(
+                rng.normal(scale=0.002, size=(200, 3))
+            ).astype(np.float32)
+        else:
+            pts = c + rng.normal(scale=0.01, size=(200, 3)).astype(
+                np.float32
+            )
+        core.append(pts)
+    shell = rng.uniform(0.0, 12.0, size=(12_000, 3)).astype(np.float32)
+    tgt = np.concatenate([np.zeros((1, 3), np.float32)] + core + [shell])
+    # Sources just inside the center cell's +corner: nearest = the vertex
+    # cluster in offset-26 lanes.
+    src = (
+        vertex
+        - np.float32(0.004)
+        - np.abs(rng.normal(scale=0.002, size=(64, 3))).astype(np.float32)
+    )
+    ref, got, overflow, n = _run_both(src, tgt, radius=0.25, k=6)
+    assert overflow == 0
+    ref_d = np.sort(np.asarray(ref.sq_dists[:n]), axis=1)
+    got_d = np.sort(np.asarray(got.sq_dists[:n]), axis=1)
+    mask = np.asarray(ref.mask[:n])
+    np.testing.assert_array_equal(np.asarray(got.mask[:n]), mask)
+    np.testing.assert_allclose(got_d[mask], ref_d[mask], rtol=0, atol=1e-6)
