@@ -745,14 +745,12 @@ class ProbabilisticRegistration:
                 )
         return prepared
 
-    def __init__(
-        self,
-        source_cloud: np.ndarray,
-        target_cloud: np.ndarray,
-        params: RegistrationParams,
-        ground_truth_cloud: Optional[np.ndarray] = None,
-        prepared_target: Optional[dict] = None,
-    ):
+    def _init_host_prelude(
+        self, source_cloud: np.ndarray, params: RegistrationParams
+    ) -> None:
+        """Shared ctor prelude (also used by DistributedRegistration):
+        validation, output stream, persistent compile cache, source load +
+        voxel filter."""
         params.validate()
         self.params = params
         self.out = OutputStream(params.verbose)
@@ -770,18 +768,65 @@ class ProbabilisticRegistration:
             self.filtered_source = voxel_downsample(self.source_cloud, params.source_filter_size)
         else:
             self.filtered_source = self.source_cloud.copy()
-        if prepared_target is None:
-            if params.target_filter_size > 0:
-                self.out << f"Filtering target point cloud with leaf of size {params.target_filter_size}\n"
-            prepared_target = self.prepare_target(target_cloud, params)
-        self.target_cloud = prepared_target["target_cloud"]
 
+    def _init_ground_truth(
+        self, ground_truth_cloud: Optional[np.ndarray]
+    ) -> None:
+        """Shared ground-truth MSE bookkeeping (reference ..._ex.cc:128-139)."""
         self.ground_truth = ground_truth_cloud is not None
         self.mse_ground_truth = 0.0
         if self.ground_truth:
             self.ground_truth_cloud = np.array(ground_truth_cloud, dtype=np.float64)
             self.mse_ground_truth = calculate_mse(self.source_cloud, self.ground_truth_cloud)
             self.out << f"Initial MSE w.r.t. ground truth: {self.mse_ground_truth}\n"
+
+    def _make_lm_config(self, params: RegistrationParams) -> LMConfig:
+        return LMConfig(
+            dof=params.dof,
+            dimension=3,
+            function_tolerance=params.function_tolerance,
+            max_iterations=params.max_inner_iterations,
+            initial_radius=params.initial_trust_region_radius,
+            min_lm_diagonal=params.min_lm_diagonal,
+            max_lm_diagonal=params.max_lm_diagonal,
+            min_relative_decrease=params.min_relative_decrease,
+            use_nonmonotonic_steps=params.use_nonmonotonic_steps,
+        )
+
+    def _init_bookkeeping(self, params: RegistrationParams) -> None:
+        """Outer-loop product state shared by single- and multi-device
+        align(): history, CSV records, convergence counters, the pooled
+        budget-escalation rung."""
+        self.transformation_history: List[np.ndarray] = []
+        self.records: List[IterationRecord] = []
+        self.iteration_times: List[float] = []  # wall seconds per outer iter
+        # Inner solves that ran into max_inner_iterations (the reference runs
+        # Ceres unbounded, cc:96 — a hit means results may diverge from it).
+        self.inner_cap_hits = 0
+        self.current_iteration = 0
+        self.cost_drop = 0.0
+        self.num_unuseful_iter = 0
+        # Pooled-engine row-budget escalation state (x2 per overflow before
+        # the grid fallback engages — see _align_loop's overflow handler).
+        self._pool_budget_boost = 0
+        self.mse_prev_it = 0.0
+        self._prev_source = self.source_cloud.copy() if params.summary else None
+
+    def __init__(
+        self,
+        source_cloud: np.ndarray,
+        target_cloud: np.ndarray,
+        params: RegistrationParams,
+        ground_truth_cloud: Optional[np.ndarray] = None,
+        prepared_target: Optional[dict] = None,
+    ):
+        self._init_host_prelude(source_cloud, params)
+        if prepared_target is None:
+            if params.target_filter_size > 0:
+                self.out << f"Filtering target point cloud with leaf of size {params.target_filter_size}\n"
+            prepared_target = self.prepare_target(target_cloud, params)
+        self.target_cloud = prepared_target["target_cloud"]
+        self._init_ground_truth(ground_truth_cloud)
 
         # Device-resident padded arrays (static shapes; compiled once).
         # Everything is staged in host numpy first and shipped in ONE
@@ -924,32 +969,8 @@ class ProbabilisticRegistration:
         if self._pool is None and grid is not None:
             self._ensure_grid_device()
 
-        self._lm_config = LMConfig(
-            dof=params.dof,
-            dimension=3,
-            function_tolerance=params.function_tolerance,
-            max_iterations=params.max_inner_iterations,
-            initial_radius=params.initial_trust_region_radius,
-            min_lm_diagonal=params.min_lm_diagonal,
-            max_lm_diagonal=params.max_lm_diagonal,
-            min_relative_decrease=params.min_relative_decrease,
-            use_nonmonotonic_steps=params.use_nonmonotonic_steps,
-        )
-
-        self.transformation_history: List[np.ndarray] = []
-        self.records: List[IterationRecord] = []
-        self.iteration_times: List[float] = []  # wall seconds per outer iter
-        # Inner solves that ran into max_inner_iterations (the reference runs
-        # Ceres unbounded, cc:96 — a hit means results may diverge from it).
-        self.inner_cap_hits = 0
-        self.current_iteration = 0
-        self.cost_drop = 0.0
-        self.num_unuseful_iter = 0
-        # Pooled-engine row-budget escalation state (x2 per overflow before
-        # the grid fallback engages — see _align_loop's overflow handler).
-        self._pool_budget_boost = 0
-        self.mse_prev_it = 0.0
-        self._prev_source = self.source_cloud.copy() if params.summary else None
+        self._lm_config = self._make_lm_config(params)
+        self._init_bookkeeping(params)
 
     def _ensure_grid_device(self):
         """Materialize the XLA hash grid on device (one batched device_put).

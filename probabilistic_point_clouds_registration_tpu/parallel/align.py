@@ -71,13 +71,9 @@ class DistributedRegistration(ProbabilisticRegistration):
     ):
         if layout not in ("auto", "targets", "points"):
             raise ValueError(f"layout must be auto|targets|points: {layout}")
-        params.validate()
-        self.params = params
-        self.out = OutputStream(params.verbose)
-        self.dtype = jnp.dtype(params.dtype)
-        from ..utils.compile_cache import enable_persistent_compilation_cache
-
-        enable_persistent_compilation_cache()
+        # Shared host-side ctor pieces (base class): validation, streams,
+        # compile cache, source load + voxel filter, ground-truth MSE.
+        self._init_host_prelude(source_cloud, params)
 
         self.mesh = mesh if mesh is not None else make_mesh()
         self._dp = self.mesh.shape[POINTS_AXIS]
@@ -85,17 +81,6 @@ class DistributedRegistration(ProbabilisticRegistration):
         on_tpu = jax.default_backend() == "tpu"
         self._interpret = (not on_tpu) if interpret is None else interpret
 
-        self.source_cloud = np.array(source_cloud, dtype=np.float64)
-        if params.source_filter_size > 0:
-            self.out << (
-                f"Filtering source point cloud with leaf of size "
-                f"{params.source_filter_size}\n"
-            )
-            self.filtered_source = voxel_downsample(
-                self.source_cloud, params.source_filter_size
-            )
-        else:
-            self.filtered_source = self.source_cloud.copy()
         target = np.asarray(target_cloud, dtype=np.float64)
         if params.target_filter_size > 0:
             self.out << (
@@ -105,18 +90,7 @@ class DistributedRegistration(ProbabilisticRegistration):
             target = voxel_downsample(target, params.target_filter_size)
         self.target_cloud = target
 
-        self.ground_truth = ground_truth_cloud is not None
-        self.mse_ground_truth = 0.0
-        if self.ground_truth:
-            self.ground_truth_cloud = np.array(
-                ground_truth_cloud, dtype=np.float64
-            )
-            self.mse_ground_truth = calculate_mse(
-                self.source_cloud, self.ground_truth_cloud
-            )
-            self.out << (
-                f"Initial MSE w.r.t. ground truth: {self.mse_ground_truth}\n"
-            )
+        self._init_ground_truth(ground_truth_cloud)
 
         # Occupancy-aware shard-axis choice (docs/PERF.md round-3 analysis:
         # target-sharding inflates padded rows toward 8x on sparse scans
@@ -212,30 +186,8 @@ class DistributedRegistration(ProbabilisticRegistration):
             self.mesh, self._sp, dtype=self.dtype
         )
 
-        self._lm_config = LMConfig(
-            dof=params.dof,
-            dimension=3,
-            function_tolerance=params.function_tolerance,
-            max_iterations=params.max_inner_iterations,
-            initial_radius=params.initial_trust_region_radius,
-            min_lm_diagonal=params.min_lm_diagonal,
-            max_lm_diagonal=params.max_lm_diagonal,
-            min_relative_decrease=params.min_relative_decrease,
-            use_nonmonotonic_steps=params.use_nonmonotonic_steps,
-        )
-
-        self.transformation_history = []
-        self.records = []
-        self.iteration_times = []
-        self.inner_cap_hits = 0
-        self.current_iteration = 0
-        self.cost_drop = 0.0
-        self.num_unuseful_iter = 0
-        self.mse_prev_it = 0.0
-        self._prev_source = (
-            self.source_cloud.copy() if params.summary else None
-        )
-        self._pool_budget_boost = 0
+        self._lm_config = self._make_lm_config(params)
+        self._init_bookkeeping(params)
         self._scan = None  # built lazily per (engine, boost)
         self._grid_state = None  # sharded grid fallback, built on demand
 
