@@ -685,13 +685,23 @@ def _group_by_window(source, source_valid, lut_d, origin_d, dims_d, ud,
     # silently drops any candidate past ``hi`` — a hardcoded 4096 here made
     # lanes >= 4096 invisible (wrong neighbors, overflow=0).
     meta = jnp.asarray(pack_row_meta(1, 0, n_lanes), dtype)
-    padded = jnp.zeros((s_pad, 4), dtype)
-    padded = padded.at[dst].set(
-        jnp.concatenate(
-            [src_sorted, jnp.full((n, 1), meta, dtype)], axis=1
-        ),
-        mode="drop",
+    # Inverse-map + gather instead of a direct (N, 4) scatter — 2x on v5e
+    # (see ops/fused_pool._group_by_row for the A/B); unfilled slots gather
+    # the zero row (invalid meta).
+    slot2src = (
+        jnp.full((s_pad,), n, jnp.int32)
+        .at[dst]
+        .set(jnp.arange(n, dtype=jnp.int32), mode="drop")
     )
+    src5 = jnp.concatenate(
+        [
+            jnp.concatenate(
+                [src_sorted, jnp.full((n, 1), meta, dtype)], axis=1
+            ),
+            jnp.zeros((1, 4), dtype),
+        ]
+    )
+    padded = src5[slot2src]
     step_rows = (
         jnp.full((ng,), ud, jnp.int32)
         .at[jnp.where(dead, ng, gid)]

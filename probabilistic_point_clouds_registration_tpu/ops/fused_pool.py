@@ -1098,11 +1098,23 @@ def _group_by_row(source, source_valid, lut_d, origin_d, dims_d,
     rmeta = pack_row_meta(
         jnp.ones_like(lo), lo, lo + (jnp.int32(1) << lws)
     ).astype(dtype)
-    padded = jnp.zeros((s_pad, 4), dtype)
-    padded = padded.at[dst].set(
-        jnp.concatenate([src_sorted, rmeta[:, None]], axis=1),
-        mode="drop",
+    # Inverse-map + gather instead of a direct (N, 4) scatter: TPU scatter
+    # serializes per row (~6.7 ms at this shape) while the s32 slot->source
+    # scatter + one 16 B-row gather runs 2x faster (3.3 ms A/B on v5e,
+    # docs/PERF.md round-4); unfilled slots gather row N = zeros =
+    # invalid meta, bit-identical to the scattered zeros.
+    slot2src = (
+        jnp.full((s_pad,), n, jnp.int32)
+        .at[dst]
+        .set(jnp.arange(n, dtype=jnp.int32), mode="drop")
     )
+    src5 = jnp.concatenate(
+        [
+            jnp.concatenate([src_sorted, rmeta[:, None]], axis=1),
+            jnp.zeros((1, 4), dtype),
+        ]
+    )
+    padded = src5[slot2src]
     step_rows = (
         jnp.full((ng,), n_rows, jnp.int32)
         .at[jnp.where(dead, ng, gid)]
