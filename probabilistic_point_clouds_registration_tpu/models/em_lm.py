@@ -10,11 +10,14 @@ iteration.hpp:55).
 Design translation, not a port:
   * The per-term Ceres autodiff Jacobians (error_term.hpp:21-37) never
     materialize as a big J. The residual r_ij = y_j - (R(q) x_i + t) has
-    Jacobian [-A_i, -I3] where A_i = d(R(q)x_i)/dq depends only on the source
-    point — so the 7x7 normal equations reduce to per-source-row sums
-    (sw_i = sum_j w_ij, m_i = sum_j w_ij r_ij) followed by tiny einsums.
-    Total work per LM step is O(N*K) elementwise + O(N) small matmuls; XLA
-    fuses the whole step into a few kernels.
+    Jacobian [-A_i, -I3] where A_i = d(R(q)x_i)/dq is LINEAR in the source
+    point (the rotation is a matrix apply), so the whole LM step — 7x7
+    normal equations, gradient, current cost, and the trial iterate's
+    candidate cost — collapses onto 26 weighted moment scalars
+    (`_Moments`) accumulated in ONE fused pass over the (N, K) table per
+    LM iteration. The direct three-pass form (E-step, normal equations,
+    candidate evaluation) is kept as `_normal_equations` for parity
+    testing only.
   * The whole solve runs inside one ``lax.while_loop`` under jit — no host
     round-trips between E-steps and LM steps.
   * Levenberg-Marquardt trust-region dynamics mirror Ceres defaults: diagonal
@@ -35,7 +38,6 @@ regularized by the LM damping, exactly as in Ceres.
 """
 from __future__ import annotations
 
-import math
 from functools import partial
 from typing import NamedTuple
 
@@ -64,6 +66,13 @@ class LMConfig(NamedTuple):
     dof: float = 5.0
     dimension: int = 3
     function_tolerance: float = 1e-5
+    # Ceres's parameter_tolerance default, active in the reference (it only
+    # overrides function_tolerance, src/prob_point_cloud_registration.cc:97):
+    # stop when an accepted step moves the iterate by less than
+    # xtol * (|x| + xtol). This is also what terminates perfect-fit solves,
+    # where the cost reaches the rounding floor and the relative
+    # function-tolerance test can no longer fire.
+    parameter_tolerance: float = 1e-8
     max_iterations: int = 100
     initial_radius: float = 1e4
     min_lm_diagonal: float = 1e-6
@@ -129,11 +138,13 @@ def _weighted_cost(r, w, mask, axis_name=None):
 
 
 def _normal_equations(q, t, source, targets, w, mask, axis_name=None):
-    """Return (H (7,7), g (7,), cost) for the weighted problem.
+    """Reference-clarity direct form: (H (7,7), g (7,), cost).
 
     H = sum w J^T J, g = sum w J^T r with J = [-A, -I3],
-    A_i = d(R(q) x_i)/dq (3,4). Accumulations use the input dtype; pass f64
-    arrays (CPU tests) for 1e-6-grade parity, f32 on TPU.
+    A_i = d(R(q) x_i)/dq (3,4). Kept as the ground truth the fused
+    moments path (`_estep_moments` + `_normal_from_moments`) is
+    parity-tested against (tests/test_em_lm.py); the hot solve no
+    longer calls it.
     """
     r = _residuals(q, t, source, targets)  # (N, K, 3)
     wm = jnp.where(mask, w, 0.0)
@@ -153,11 +164,100 @@ def _normal_equations(q, t, source, targets, w, mask, axis_name=None):
     g_t = -jnp.sum(m, axis=0)
     g = jnp.concatenate([g_q, g_t])
     if axis_name is not None:
-        # Cross-device reduction of the normal equations over ICI: 7x7 + 7 + 1
-        # scalars per step — communication is negligible next to the O(N*K)
-        # local compute, the ideal data-parallel layout for this workload.
         H, g, cost = jax.lax.psum((H, g, cost), axis_name)
     return H, g, cost
+
+
+class _Moments(NamedTuple):
+    """Sufficient statistics of one E-step pass over the (N, K) table.
+
+    ``quat_rotate`` is exactly linear in the point (a 3x3 matrix apply), so
+    every quantity the LM step needs — normal equations, gradient, current
+    cost, and the candidate cost at ANY trial iterate sharing the current
+    weights — reduces to these 26 scalars. One fused read of the (N, K, 3)
+    neighbor tensor per LM iteration replaces the three passes of the
+    direct form (E-step, normal equations, candidate-cost evaluation); the
+    Ceres analogue re-evaluates every residual block for each of those
+    (weight_updater_callback.hpp:42-51 plus the solver's own evaluations).
+    """
+
+    m0: jnp.ndarray   # sum_i sw_i                      (scalar)
+    m1: jnp.ndarray   # sum_i sw_i x_i                  (3,)
+    m2: jnp.ndarray   # sum_i sw_i x_i x_i^T            (3, 3)
+    sm: jnp.ndarray   # sum_i m_i                       (3,)
+    smx: jnp.ndarray  # sum_i m_i x_i^T                 (3, 3)
+    cost: jnp.ndarray # 0.5 sum_ij w_ij |r_ij|^2        (scalar)
+
+
+def _rotation_matrix(q, dtype):
+    """M(q) with quat_rotate(q, x) == M(q) @ x, bit-consistent with the
+    operator (columns are the rotated basis vectors)."""
+    return quat_rotate(q, jnp.eye(3, dtype=dtype)).T
+
+
+def _estep_moments(q, t, source, targets, mask, dof, dimension, axis_name=None):
+    """E-step + sufficient statistics in one fused (N, K) pass."""
+    r = _residuals(q, t, source, targets)  # (N, K, 3)
+    e2 = jnp.sum(r * r, axis=-1)
+    w = update_weights(e2, mask, dof=dof, dimension=dimension)
+    wm = jnp.where(mask, w, 0.0)
+    sw = jnp.sum(wm, axis=-1)  # (N,)
+    m = jnp.sum(wm[..., None] * r, axis=1)  # (N, 3)
+    cost = 0.5 * jnp.sum(wm * e2)
+    stats = _Moments(
+        m0=jnp.sum(sw),
+        m1=sw @ source,
+        m2=jnp.einsum("n,na,nb->ab", sw, source, source),
+        sm=jnp.sum(m, axis=0),
+        smx=jnp.einsum("na,nb->ab", m, source),
+        cost=cost,
+    )
+    if axis_name is not None:
+        # One collective of 26 scalars replaces the per-step psum of
+        # (H, g, cost) — same information, moved before the (replicated)
+        # tiny algebra below.
+        stats = jax.lax.psum(stats, axis_name)
+    return stats
+
+
+def _normal_from_moments(q, stats: _Moments, dtype):
+    """(H (7,7), g (7,)) from the moment statistics.
+
+    A_i = d(R(q) x_i)/dq = J . x_i with J[c,d,a] = dM(q)[c,d]/dq_a, so the
+    big-N contractions of the direct form collapse onto the moments:
+      H_qq[a,b] = sum_i sw_i (A_i^T A_i)[a,b] = J[c,d,a] J[c,e,b] m2[d,e]
+      H_qt[a,b] = sum_i sw_i A_i[b,:,a]      = J[b,d,a] m1[d]
+      g_q[a]    = -sum_i (A_i^T m_i)[a]      = -J[c,d,a] smx[c,d]
+    """
+    J = jax.jacfwd(lambda qq: _rotation_matrix(qq, dtype))(q)  # (3, 3, 4)
+    h_qq = jnp.einsum("cda,ceb,de->ab", J, J, stats.m2)
+    h_qt = jnp.einsum("bda,d->ab", J, stats.m1)  # (4, 3)
+    h_tt = stats.m0 * jnp.eye(3, dtype=dtype)
+    H = jnp.block([[h_qq, h_qt], [h_qt.T, h_tt]])
+    g = jnp.concatenate([-jnp.einsum("cda,cd->a", J, stats.smx), -stats.sm])
+    return H, g
+
+
+def _cost_change_from_moments(q, t, q_new, t_new, stats: _Moments, dtype):
+    """cost(q,t) - cost(q_new,t_new) under the CURRENT weights, exactly.
+
+    With d_i = (M(q_new) - M(q)) x_i + (t_new - t) the per-slot identity
+    |r_ij - d_i|^2 = |r_ij|^2 - 2 r_ij.d_i + |d_i|^2 gives
+      cost_change = sum_i m_i.d_i - 0.5 sum_i sw_i |d_i|^2
+    — evaluated from the moments in O(1), no pass over the neighbor
+    tensor, and better conditioned than (cost - recomputed candidate):
+    the difference is formed from small step-scale terms instead of
+    subtracting two nearly equal totals.
+    """
+    dM = _rotation_matrix(q_new, dtype) - _rotation_matrix(q, dtype)
+    dt = t_new - t
+    dm = jnp.sum(dM * stats.smx) + dt @ stats.sm
+    swd2 = (
+        jnp.sum((dM.T @ dM) * stats.m2)
+        + 2.0 * dt @ (dM @ stats.m1)
+        + stats.m0 * (dt @ dt)
+    )
+    return dm - 0.5 * swd2
 
 
 @partial(jax.jit, static_argnames=("config",))
@@ -183,16 +283,15 @@ def em_lm_solve(
     dtype = source.dtype
     f = lambda v: jnp.asarray(v, dtype)
 
-    def e_step(q, t):
-        r = _residuals(q, t, source, targets)
-        e2 = jnp.sum(r * r, axis=-1)
-        return update_weights(e2, mask, dof=config.dof, dimension=config.dimension)
+    def moments(q, t):
+        return _estep_moments(
+            q, t, source, targets, mask,
+            config.dof, config.dimension, config.axis_name,
+        )
 
     # Initial E-step at the initial iterate (iteration.hpp:49 invokes the
     # weight callback once at construction, before the first LM step).
-    w0 = e_step(q0, t0)
-    r0 = _residuals(q0, t0, source, targets)
-    initial_cost = _weighted_cost(r0, w0, mask, config.axis_name)
+    initial_cost = moments(q0, t0).cost
 
     init = LMState(
         q=q0.astype(dtype),
@@ -220,11 +319,12 @@ def em_lm_solve(
     def body(s: LMState) -> LMState:
         # E-step at the current iterate (weight_updater_callback.hpp:36-63
         # fires after every LM iteration; on rejected steps the iterate is
-        # unchanged so recomputing is idempotent).
-        w = e_step(s.q, s.t)
-        H, g, cost = _normal_equations(
-            s.q, s.t, source, targets, w, mask, config.axis_name
-        )
+        # unchanged so recomputing is idempotent). ONE fused pass over the
+        # (N, K) table yields the weights' sufficient statistics; everything
+        # below is O(1) in N.
+        st = moments(s.q, s.t)
+        cost = st.cost
+        H, g = _normal_from_moments(s.q, st, dtype)
 
         # Levenberg-Marquardt step: (H + diag(clamp(diag H)) / radius) d = -g.
         diag = jnp.clip(jnp.diagonal(H), config.min_lm_diagonal, config.max_lm_diagonal)
@@ -235,15 +335,19 @@ def em_lm_solve(
 
         q_new = s.q + delta[:4]
         t_new = s.t + delta[4:]
-        r_new = _residuals(q_new, t_new, source, targets)
-        candidate_cost = _weighted_cost(r_new, w, mask, config.axis_name)
+        # Candidate cost under the current weights, closed-form from the
+        # moments (no second pass over the neighbor tensor).
+        cost_change_fwd = _cost_change_from_moments(
+            s.q, s.t, q_new, t_new, st, dtype
+        )
+        candidate_cost = cost - cost_change_fwd
 
         # Model cost change m(0) - m(delta) = -(g.d + 0.5 d^T H d).
         model_cost_change = -(g @ delta + 0.5 * delta @ (H @ delta))
         step_ok &= model_cost_change > 0
         step_ok &= jnp.isfinite(candidate_cost)
 
-        relative_decrease = (cost - candidate_cost) / model_cost_change
+        relative_decrease = cost_change_fwd / model_cost_change
         historical = (s.reference_cost - candidate_cost) / (
             s.acc_reference_mcc + model_cost_change
         )
@@ -282,12 +386,17 @@ def em_lm_solve(
         acc_ref = jnp.where(promote, acc_cand, jnp.where(accepted, acc_ref, s.acc_reference_mcc))
 
         # --- convergence -----------------------------------------------------
-        cost_change = cost - candidate_cost
         ftol_hit = accepted & (
-            jnp.abs(cost_change) <= config.function_tolerance * cost
+            jnp.abs(cost_change_fwd) <= config.function_tolerance * cost
+        )
+        # Ceres ParameterToleranceReached on the accepted step.
+        x_norm = jnp.sqrt(s.q @ s.q + s.t @ s.t)
+        xtol = f(config.parameter_tolerance)
+        xtol_hit = accepted & (
+            jnp.sqrt(delta @ delta) <= xtol * (x_norm + xtol)
         )
         dead_radius = radius < _MIN_TRUST_REGION_RADIUS
-        done = ftol_hit | dead_radius | ~jnp.isfinite(new_cost)
+        done = ftol_hit | xtol_hit | dead_radius | ~jnp.isfinite(new_cost)
 
         trace = s.trace
         if config.trace:

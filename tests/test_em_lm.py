@@ -148,6 +148,56 @@ def test_lm_trace_records_iterations():
     np.testing.assert_allclose(np.asarray(res2.q), np.asarray(res.q))
 
 
+def test_moments_path_matches_direct_normal_equations():
+    """The fused moments formulation (one (N,K) pass -> 26 scalars) must
+    reproduce the direct H/g/cost and the candidate-cost evaluation of the
+    three-pass reference form to f64 precision."""
+    from probabilistic_point_clouds_registration_tpu.models.em_lm import (
+        _cost_change_from_moments,
+        _estep_moments,
+        _normal_equations,
+        _normal_from_moments,
+        _residuals,
+        _weighted_cost,
+    )
+    from probabilistic_point_clouds_registration_tpu.ops.weights import (
+        update_weights,
+    )
+
+    rng = np.random.default_rng(7)
+    n, k = 500, 6
+    # Large-coordinate regime (KITTI-like) to exercise conditioning.
+    source = jnp.asarray(rng.normal(size=(n, 3)) * 40.0)
+    targets = source[:, None, :] + jnp.asarray(rng.normal(size=(n, k, 3)) * 0.3)
+    mask = jnp.asarray(rng.random((n, k)) < 0.8)
+    q = jnp.asarray([0.9, 0.05, -0.03, 0.02])
+    t = jnp.asarray([0.3, -0.1, 0.05])
+
+    for dof in (5.0, math.inf):
+        r = _residuals(q, t, source, targets)
+        e2 = jnp.sum(r * r, axis=-1)
+        w = update_weights(e2, mask, dof=dof, dimension=3)
+        H_d, g_d, cost_d = _normal_equations(q, t, source, targets, w, mask)
+
+        st = _estep_moments(q, t, source, targets, mask, dof, 3)
+        H_m, g_m = _normal_from_moments(q, st, source.dtype)
+
+        np.testing.assert_allclose(np.asarray(H_m), np.asarray(H_d), rtol=1e-10)
+        np.testing.assert_allclose(np.asarray(g_m), np.asarray(g_d),
+                                   rtol=1e-9, atol=1e-9)
+        np.testing.assert_allclose(float(st.cost), float(cost_d), rtol=1e-12)
+
+        # Candidate cost at a trial step, same (current) weights.
+        q_new = q + jnp.asarray([1e-3, -2e-3, 5e-4, 1e-3])
+        t_new = t + jnp.asarray([0.01, -0.02, 0.005])
+        r_new = _residuals(q_new, t_new, source, targets)
+        cand_direct = _weighted_cost(r_new, w, mask)
+        change = _cost_change_from_moments(q, t, q_new, t_new, st, source.dtype)
+        np.testing.assert_allclose(
+            float(st.cost - change), float(cand_direct), rtol=1e-10
+        )
+
+
 def test_inner_iteration_cap_warning():
     """Hitting max_inner_iterations must warn (the reference runs unbounded)."""
     import warnings
