@@ -2,13 +2,17 @@
 
 Isolates ``em_lm_solve`` (models/em_lm.py) from the search: synthesizes the
 (N, K, 3) gathered-neighbor tensor + mask the search would produce and
-loop-times a fixed number of LM iterations inside ONE jit (same measurement
-hygiene as probe_search.py: data dependency between repeats, one scalar
-fetch; function_tolerance=0 pins the while_loop at exactly
-``--lm_iters`` iterations so per-LM-step time is total / (reps * lm_iters)).
+loop-times LM iterations inside ONE jit (same measurement hygiene as
+probe_search.py: data dependency between repeats, one scalar fetch).
+Tolerances are set so the stopping tests cannot realistically fire
+(ftol=-1 never holds for positive cost; xtol=0 needs a bitwise-zero step),
+but the loop can still exit via dead trust-region radius — so per-step
+time divides by the iterations that ACTUALLY ran (summed on device), not
+the cap. Defaults amortize ~1000 LM steps per fetch so the ~27 ms tunnel
+roundtrip contributes <3% to the quotient.
 
 Usage: python benchmarks/probe_solve.py [--points 131072] [--k 20]
-       [--lm_iters 20] [--fixture kitti]
+       [--lm_iters 50] [--fixture kitti]
 """
 from __future__ import annotations
 
@@ -24,8 +28,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--points", type=int, default=131_072)
     ap.add_argument("--k", type=int, default=20)
-    ap.add_argument("--lm_iters", type=int, default=20)
-    ap.add_argument("--reps", type=int, default=5, help="solves per jit scan")
+    ap.add_argument("--lm_iters", type=int, default=50)
+    ap.add_argument("--reps", type=int, default=20, help="solves per jit scan")
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--fixture", default="kitti", choices=["kitti", "bunny"])
     ap.add_argument("--dof", type=float, default=5.0)
@@ -60,17 +64,20 @@ def main():
     mask = rng.random((n, k)) < 0.85
     mask[:, 0] = True
 
-    # Negative tolerances pin the while_loop at exactly max_iterations
-    # (|change| <= -cost and |step| <= -x_norm can never hold), so every
-    # probed step does real work. parameter_tolerance is passed only when
-    # the installed solver has it (A/B against older checkouts).
+    # Disarm the stopping tests: ftol=-1 (|change| <= -cost never holds for
+    # positive cost) and xtol=0 (threshold 0*(x_norm+0)=0, so only a
+    # bitwise-zero step could fire; a NEGATIVE xtol would NOT disarm — the
+    # threshold -1*(x_norm-1) is positive whenever |x| < 1). The loop can
+    # still exit via dead trust-region radius, which is why per-step time
+    # divides by the actual iteration count below. parameter_tolerance is
+    # passed only when the installed solver has it (A/B vs older checkouts).
     kw = dict(
         dof=args.dof,
         max_iterations=args.lm_iters,
         function_tolerance=-1.0,
     )
     if "parameter_tolerance" in LMConfig._fields:
-        kw["parameter_tolerance"] = -1.0
+        kw["parameter_tolerance"] = 0.0
     cfg = LMConfig(**kw)
 
     src_d = jax.device_put(src.astype(np.float32))
@@ -102,9 +109,8 @@ def main():
         t0 = time.perf_counter()
         jax.device_get(scan_solve(src_d, tgt_d, mask_d, q0, t0v))
         times.append(time.perf_counter() - t0)
-    # The solves may converge before max_iterations (ftol=0 still stops on
-    # bitwise-zero change / parameter tolerance) — divide by the iterations
-    # that actually ran, not the cap.
+    # The solves may still exit early via dead trust-region radius — divide
+    # by the iterations that actually ran, not the cap.
     per_step = min(times) / int(iters)
     emit(
         {

@@ -330,7 +330,8 @@ def em_lm_solve(
         diag = jnp.clip(jnp.diagonal(H), config.min_lm_diagonal, config.max_lm_diagonal)
         H_damped = H + jnp.diag(diag / s.radius)
         delta = jnp.linalg.solve(H_damped, -g)
-        step_ok = jnp.all(jnp.isfinite(delta))
+        delta_finite = jnp.all(jnp.isfinite(delta))
+        step_ok = delta_finite
         delta = jnp.where(step_ok, delta, 0.0)
 
         q_new = s.q + delta[:4]
@@ -389,10 +390,15 @@ def em_lm_solve(
         ftol_hit = accepted & (
             jnp.abs(cost_change_fwd) <= config.function_tolerance * cost
         )
-        # Ceres ParameterToleranceReached on the accepted step.
+        # Ceres ParameterToleranceReached: checked on every valid trust-region
+        # step, accepted or not (TrustRegionMinimizer tests the candidate x
+        # before step acceptance) — at the cost rounding floor every tiny
+        # step gets rejected, so gating this on acceptance would leave only
+        # the dead-radius exit. Guard on delta_finite: a failed linear solve
+        # zeroes delta and must not read as a zero-length step.
         x_norm = jnp.sqrt(s.q @ s.q + s.t @ s.t)
         xtol = f(config.parameter_tolerance)
-        xtol_hit = accepted & (
+        xtol_hit = delta_finite & (
             jnp.sqrt(delta @ delta) <= xtol * (x_norm + xtol)
         )
         dead_radius = radius < _MIN_TRUST_REGION_RADIUS

@@ -198,6 +198,89 @@ def test_moments_path_matches_direct_normal_equations():
         )
 
 
+def test_moments_path_f32_accuracy_large_coordinates():
+    """The production TPU path runs the moments formulation in f32. Against
+    the f64 direct form as ground truth, the f32 moments H/g/cost and the
+    closed-form candidate cost must stay within f32-appropriate bounds in
+    the KITTI-like large-coordinate regime (second moments ~1e8)."""
+    from probabilistic_point_clouds_registration_tpu.models.em_lm import (
+        _cost_change_from_moments,
+        _estep_moments,
+        _normal_equations,
+        _normal_from_moments,
+        _residuals,
+    )
+    from probabilistic_point_clouds_registration_tpu.ops.weights import (
+        update_weights,
+    )
+
+    rng = np.random.default_rng(11)
+    n, k = 2000, 8
+    source64 = jnp.asarray(rng.normal(size=(n, 3)) * 40.0)
+    targets64 = source64[:, None, :] + jnp.asarray(
+        rng.normal(size=(n, k, 3)) * 0.3
+    )
+    mask = jnp.asarray(rng.random((n, k)) < 0.85)
+    q = jnp.asarray([0.9, 0.05, -0.03, 0.02])
+    t = jnp.asarray([0.3, -0.1, 0.05])
+
+    # f64 ground truth via the direct form.
+    r = _residuals(q, t, source64, targets64)
+    e2 = jnp.sum(r * r, axis=-1)
+    w = update_weights(e2, mask, dof=5.0, dimension=3)
+    H_ref, g_ref, cost_ref = _normal_equations(
+        q, t, source64, targets64, w, mask
+    )
+
+    # f32 moments path (what the TPU executes).
+    s32 = source64.astype(jnp.float32)
+    t32 = targets64.astype(jnp.float32)
+    q32, tt32 = q.astype(jnp.float32), t.astype(jnp.float32)
+    st = _estep_moments(q32, tt32, s32, t32, mask, 5.0, 3)
+    H_m, g_m = _normal_from_moments(q32, st, jnp.float32)
+
+    H_ref_n, g_ref_n = np.asarray(H_ref), np.asarray(g_ref)
+    assert np.abs(np.asarray(H_m) - H_ref_n).max() < 1e-3 * np.abs(H_ref_n).max()
+    assert np.abs(np.asarray(g_m) - g_ref_n).max() < 1e-3 * np.abs(g_ref_n).max()
+    np.testing.assert_allclose(float(st.cost), float(cost_ref), rtol=1e-4)
+
+    # Closed-form cost change of a realistic small step vs the f64 truth:
+    # relative error must stay well under the ftol (1e-5) decision scale
+    # relative to the cost itself.
+    q_new64 = q + jnp.asarray([1e-3, -2e-3, 5e-4, 1e-3])
+    t_new64 = t + jnp.asarray([0.01, -0.02, 0.005])
+    r_new = _residuals(q_new64, t_new64, source64, targets64)
+    e2n = jnp.sum(r_new * r_new, axis=-1)
+    cand_ref = 0.5 * float(jnp.sum(jnp.where(mask, w * e2n, 0.0)))
+    change_ref = float(cost_ref) - cand_ref
+    change32 = float(
+        _cost_change_from_moments(
+            q32, tt32, q_new64.astype(jnp.float32),
+            t_new64.astype(jnp.float32), st, jnp.float32,
+        )
+    )
+    assert abs(change32 - change_ref) < 1e-4 * float(cost_ref)
+
+
+def test_xtol_terminates_rejection_stall():
+    """Ceres checks ParameterToleranceReached on every valid step, accepted
+    or not; at the cost rounding floor (perfect-fit data) steps shrink to
+    nothing while being rejected, and xtol — not dead radius — must end the
+    solve promptly."""
+    source, target, _ = _fixture()
+    targets = jnp.asarray(target)[:, None, :]
+    mask = jnp.ones((source.shape[0], 1), bool)
+    res = em_lm_solve(
+        jnp.asarray(source), targets, mask,
+        jnp.asarray([1.0, 0.0, 0.0, 0.0]), jnp.zeros(3),
+        LMConfig(dof=math.inf, function_tolerance=-1.0, max_iterations=200),
+    )
+    # ftol is disarmed (negative): only xtol can stop before the cap, and
+    # it must (dead radius alone needs ~a hundred halvings from 1e4).
+    assert int(res.num_iterations) < 200
+    assert np.isfinite(float(res.final_cost))
+
+
 def test_inner_iteration_cap_warning():
     """Hitting max_inner_iterations must warn (the reference runs unbounded)."""
     import warnings
