@@ -1237,15 +1237,7 @@ def fused_pool_search(
     )
 
     kp = 32 if k <= 32 else round_up(k, 128)
-    big = jnp.float32(3e38)
-    outd = jnp.full((s_pad, kp), big, jnp.float32)
-    outi = jnp.full((s_pad, kp), -1, jnp.int32)
-    outp = (
-        tuple(jnp.zeros((s_pad, kp), jnp.float32) for _ in range(3))
-        if return_points
-        else None
-    )
-
+    class_results = []
     prev_end = 0
     for c, (w_c, e_c, b_c) in enumerate(
         zip(class_widths, class_ends, class_budgets)
@@ -1299,6 +1291,27 @@ def fused_pool_search(
                 return_points=return_points, dyn_rounds=dyn_rounds,
                 block_groups=bg,
             )
+        class_results.append((b_c, in_class, res))
+        # Coverage: groups are sorted by row (descending width), so any
+        # class-<=c window past this class's budget means a missed group.
+        if b_c < ng:
+            overflow += jnp.where(step_rows[b_c] < e_c, 1, 0)
+        prev_end = e_c
+
+    # Combine the per-class results. The LAST class always spans the full
+    # row budget (b_c forced to ng above) and its kernel emits exactly the
+    # empty-slot values (d2=big, idx=-1, zero points) at rows outside its
+    # own in_class mask (dummy windows find nothing) — so it IS the
+    # initialized output buffer, for free. Only the earlier classes (with
+    # strictly smaller row prefixes) overlay their disjoint rows; the
+    # previous accumulator formulation paid a full (s_pad, kp) select +
+    # dynamic-update-slice per PLANE for the biggest class every iteration
+    # (~the single largest glue fusion in the KITTI trace).
+    b_last, _, res_last = class_results[-1]
+    assert b_last * GROUP == s_pad
+    outd, outi = res_last[0], res_last[1]
+    outp = res_last[2] if return_points else None
+    for b_c, in_class, res in class_results[:-1]:
         sel = jnp.repeat(in_class[:, None], GROUP, axis=1).reshape(b_c * GROUP)[:, None]
         outd = outd.at[: b_c * GROUP].set(jnp.where(sel, res[0], outd[: b_c * GROUP]))
         outi = outi.at[: b_c * GROUP].set(jnp.where(sel, res[1], outi[: b_c * GROUP]))
@@ -1309,11 +1322,6 @@ def fused_pool_search(
                 )
                 for o, r in zip(outp, res[2])
             )
-        # Coverage: groups are sorted by row (descending width), so any
-        # class-<=c window past this class's budget means a missed group.
-        if b_c < ng:
-            overflow += jnp.where(step_rows[b_c] < e_c, 1, 0)
-        prev_end = e_c
 
     corr, pts = _unsort_results(
         outd, outi, outp, order, dst, k=k, n=n, dtype=dtype
