@@ -1311,16 +1311,18 @@ def fused_pool_search(
     assert b_last * GROUP == s_pad
     outd, outi = res_last[0], res_last[1]
     outp = res_last[2] if return_points else None
-    for b_c, in_class, res in class_results[:-1]:
-        sel = jnp.repeat(in_class[:, None], GROUP, axis=1).reshape(b_c * GROUP)[:, None]
-        outd = outd.at[: b_c * GROUP].set(jnp.where(sel, res[0], outd[: b_c * GROUP]))
-        outi = outi.at[: b_c * GROUP].set(jnp.where(sel, res[1], outi[: b_c * GROUP]))
+    # Classes are row-disjoint and every kernel emits exactly (big, -1, 0)
+    # at rows outside its own class, so the overlay needs no mask at all:
+    # at each row exactly one operand is real and the other is the empty
+    # value — elementwise min / max / add combine them (slots beyond a
+    # row's found count are empty in BOTH operands and stay empty).
+    for b_c, _in_class, res in class_results[:-1]:
+        n_r = b_c * GROUP
+        outd = outd.at[:n_r].set(jnp.minimum(outd[:n_r], res[0]))
+        outi = outi.at[:n_r].set(jnp.maximum(outi[:n_r], res[1]))
         if return_points:
             outp = tuple(
-                o.at[: b_c * GROUP].set(
-                    jnp.where(sel, r, o[: b_c * GROUP])
-                )
-                for o, r in zip(outp, res[2])
+                o.at[:n_r].set(o[:n_r] + r) for o, r in zip(outp, res[2])
             )
 
     corr, pts = _unsort_results(
