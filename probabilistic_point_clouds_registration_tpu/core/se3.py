@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -66,6 +67,26 @@ def quat_rotate(q, v):
     transform is extracted, :62-63).
     """
     return unit_quat_rotate(quat_normalize(q), v)
+
+
+def quat_rotate_points(q, pts):
+    """Rotate an (N, 3) point array by ``q`` via a 3x3 matmul on the MXU.
+
+    Mathematically identical to ``quat_rotate`` (the rotation is linear in
+    the point) but laid out for TPU: the cross-product form shuffles along
+    a 3-wide minor dimension, which the (8, 128) vector layout inflates
+    ~40x for large N (a 1.3 ms/iteration fusion in the KITTI trace), while
+    (N, 3) @ (3, 3) is a trivial MXU contraction. HIGHEST precision keeps
+    the 3-term dots at f32 accuracy on TPU (the default bf16 matmul path
+    would truncate LiDAR-scale coordinates). Rounding differs from
+    ``quat_rotate`` in the last bits; use ONE form consistently within any
+    path whose outputs are compared bit-for-bit.
+    """
+    m_t = quat_rotate(q, jnp.eye(3, dtype=pts.dtype))  # row j = M column j
+    return jax.lax.dot_general(
+        pts, m_t, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
 
 def quat_multiply(a, b):

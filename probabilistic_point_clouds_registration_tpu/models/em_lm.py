@@ -44,7 +44,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..core.se3 import quat_rotate
+from ..core.se3 import quat_rotate, quat_rotate_points
 from ..ops.weights import update_weights
 
 _MAX_TRUST_REGION_RADIUS = 1e16
@@ -125,7 +125,7 @@ class LMResult(NamedTuple):
 
 def _residuals(q, t, source, targets):
     """r_ij = y_ij - (R(q) x_i + t); source (N,3), targets (N,K,3)."""
-    moved = quat_rotate(q, source) + t  # (N, 3)
+    moved = quat_rotate_points(q, source) + t  # (N, 3), MXU layout
     return targets - moved[:, None, :]
 
 

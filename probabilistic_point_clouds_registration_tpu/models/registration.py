@@ -82,9 +82,9 @@ def _registration_step(
 
     Brute-force association engine (streaming tiled top-k over all targets).
     """
-    from ..core.se3 import quat_rotate
+    from ..core.se3 import quat_rotate_points
 
-    moved = quat_rotate(q_cum, filtered_source) + t_cum
+    moved = quat_rotate_points(q_cum, filtered_source) + t_cum
     corr = radius_search(
         moved,
         target,
@@ -118,10 +118,10 @@ def _registration_step_pallas(
 ):
     """One fused outer iteration using the hand-tiled Pallas search kernel
     (ops/neighbors_pallas.py) instead of the XLA top_k engine. TPU only."""
-    from ..core.se3 import quat_rotate
+    from ..core.se3 import quat_rotate_points
     from ..ops.neighbors_pallas import pallas_radius_search
 
-    moved = quat_rotate(q_cum, filtered_source) + t_cum
+    moved = quat_rotate_points(q_cum, filtered_source) + t_cum
     corr = pallas_radius_search(
         moved,
         target,
@@ -172,10 +172,10 @@ def _registration_step_grid(
     ``overflow_pts``/``overflow_idx`` (possibly zero-size) carry hot-cell
     overflow, merged by a streaming brute pass (ops.grid.merge_overflow).
     """
-    from ..core.se3 import quat_rotate
+    from ..core.se3 import quat_rotate_points
     from ..ops.grid import grid_radius_search, merge_overflow, pick_source_tile
 
-    moved = quat_rotate(q_cum, filtered_source) + t_cum
+    moved = quat_rotate_points(q_cum, filtered_source) + t_cum
     corr = grid_radius_search(
         moved,
         bucket_pts,
@@ -325,11 +325,11 @@ def _registration_scan_grid(
     chunk. Per-iteration deltas (+ the executed flags + optional LM traces)
     stream out so the host rebuilds the exact per-iteration history/CSV.
     """
-    from ..core.se3 import quat_rotate
+    from ..core.se3 import quat_rotate_points
     from ..ops.grid import grid_radius_search, merge_overflow, pick_source_tile
 
     def compute(qc, tc):
-        moved = quat_rotate(qc, filtered_source) + tc
+        moved = quat_rotate_points(qc, filtered_source) + tc
         corr = grid_radius_search(
             moved,
             bucket_pts,
@@ -399,10 +399,10 @@ def _registration_scan_brute(
     """Up to ``chunk`` fused outer iterations with the brute-force streaming
     engine (one host sync per chunk — same contract as
     _registration_scan_grid, incl. the on-device stopping rule)."""
-    from ..core.se3 import quat_rotate
+    from ..core.se3 import quat_rotate_points
 
     def compute(qc, tc):
-        moved = quat_rotate(qc, filtered_source) + tc
+        moved = quat_rotate_points(qc, filtered_source) + tc
         corr = radius_search(
             moved,
             target,
@@ -475,12 +475,12 @@ def _registration_scan_fused(
     per-iteration group-overflow count; the host falls back to the XLA grid
     engine for the pair when any is nonzero. Stopping rule on device
     (_scan_convergence)."""
-    from ..core.se3 import quat_rotate
+    from ..core.se3 import quat_rotate_points
     from ..ops.fused_grid import fused_grid_search
     from ..ops.grid import merge_overflow
 
     def compute(qc, tc):
-        moved = quat_rotate(qc, filtered_source) + tc
+        moved = quat_rotate_points(qc, filtered_source) + tc
         corr, overflow, gathered = fused_grid_search(
             moved,
             source_valid,
@@ -576,11 +576,11 @@ def _registration_scan_pool(
     carry every cell member). Emits a per-iteration overflow count; the host
     falls back to the XLA grid engine for the pair when any is nonzero.
     Stopping rule on device (_scan_convergence)."""
-    from ..core.se3 import quat_rotate
+    from ..core.se3 import quat_rotate_points
     from ..ops.fused_pool import fused_pool_search
 
     def compute(qc, tc):
-        moved = quat_rotate(qc, filtered_source) + tc
+        moved = quat_rotate_points(qc, filtered_source) + tc
         corr, overflow, gathered = fused_pool_search(
             moved,
             source_valid,

@@ -35,7 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from ..core.se3 import quat_multiply, quat_normalize, quat_rotate, unit_quat_rotate
+from ..core.se3 import quat_multiply, quat_normalize, quat_rotate_points, unit_quat_rotate
 from ..models.em_lm import LMConfig, em_lm_solve
 from ..ops.neighbors import radius_search
 
@@ -73,7 +73,7 @@ def _outer_loop(search_fn, src, sv, q0, t0, lm_config, n_outer,
         done_now = stop_iter | stop_drop
         unuseful = jnp.where(low, s["unuseful"] + 1, 0)
 
-        moved = quat_rotate(s["q"], src) + s["t"]
+        moved = quat_rotate_points(s["q"], src) + s["t"]
         pts, mask, n_corr, ovf = search_fn(moved)
         res = em_lm_solve(moved, pts, mask, q0, t0, lm_config)
         qn = quat_normalize(res.q)

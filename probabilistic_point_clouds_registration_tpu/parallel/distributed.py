@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from ..core.se3 import quat_rotate
+from ..core.se3 import quat_rotate_points
 from ..core.types import round_up
 from ..models.em_lm import LMConfig, LMResult, em_lm_solve
 from .mesh import POINTS_AXIS, TARGETS_AXIS, supports_structural_replication
@@ -78,7 +78,7 @@ def make_sharded_registration_step(
     r2 = radius * radius
 
     def body(fs, tgt, sv, tv, q_cum, t_cum, q0, t0):
-        moved = quat_rotate(q_cum, fs) + t_cum
+        moved = quat_rotate_points(q_cum, fs) + t_cum
         merged = local_topk_merge(
             moved,
             tgt,

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from ..core.se3 import quat_rotate
+from ..core.se3 import quat_rotate_points
 from ..core.types import round_up
 from ..models.em_lm import LMConfig, LMResult, em_lm_solve
 from ..ops.grid import _quantize_capacity
@@ -341,7 +341,7 @@ def make_sharded_grid_registration_step(
     def body(fs, sv, bucket_pts, bucket_idx, lut, origin, dims, q_cum, t_cum, q0, t0):
         from ..ops.grid import grid_radius_search
 
-        moved = quat_rotate(q_cum, fs) + t_cum
+        moved = quat_rotate_points(q_cum, fs) + t_cum
         corr, pts = grid_radius_search(
             moved,
             bucket_pts,
@@ -434,7 +434,7 @@ def make_sharded_grid_align_scan(
         from ..ops.grid import grid_radius_search
 
         def compute(qc, tc):
-            moved = quat_rotate(qc, fs) + tc
+            moved = quat_rotate_points(qc, fs) + tc
             corr, pts = grid_radius_search(
                 moved,
                 bucket_pts,

@@ -41,7 +41,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from ..core.se3 import quat_rotate
+from ..core.se3 import quat_rotate_points
 from ..core.types import round_up
 from ..models.em_lm import LMConfig, LMResult, em_lm_solve
 from ..ops.fused_grid import BLOCK_GROUPS, GROUP
@@ -413,7 +413,7 @@ def make_sharded_pool_registration_step(
     def body(fs, sv, pool_xyz, pool_idx, width_lut, union_lut, lut_d,
              origin_d, dims_d, q_cum, t_cum, q0, t0):
         sq = lambda a: a.reshape(a.shape[1:])
-        moved = quat_rotate(q_cum, fs) + t_cum
+        moved = quat_rotate_points(q_cum, fs) + t_cum
         corr, overflow, pts = _fp.fused_pool_search(
             moved,
             sv,
@@ -591,7 +591,7 @@ def make_sharded_pool_align_scan(
         sq = lambda a: a.reshape(a.shape[1:])
 
         def compute(qc, tc):
-            moved = quat_rotate(qc, fs) + tc
+            moved = quat_rotate_points(qc, fs) + tc
             corr, overflow, pts = _fp.fused_pool_search(
                 moved,
                 sv,
