@@ -310,3 +310,26 @@ def test_pooled_budget_overflow_falls_back_to_grid_mid_pair(thresh, n_drop):
         assert a.initial_cost == b.initial_cost
         assert a.final_cost == b.final_cost
         np.testing.assert_array_equal(a.translation, b.translation)
+
+
+def test_prepared_target_reuse_matches_fresh_ctor():
+    """The README static-map recipe: one prepare_target(device=True) shared
+    across several registrations must give bit-identical results to fresh
+    per-pair ctors, and must not mutate the shared preparation."""
+    source, target, _ = _pair()
+    p = RegistrationParams(max_neighbours=8, radius=1.0, n_iter=5,
+                           cost_drop_thresh=-1.0, pad_multiple=128)
+    prep = ProbabilisticRegistration.prepare_target(target, p, device=True)
+
+    results_shared = []
+    for shift in (0.0, 0.05):
+        src = source + shift
+        reg = ProbabilisticRegistration(src, target, p, prepared_target=prep)
+        reg.align()
+        results_shared.append(np.asarray(reg.transformation()))
+
+    for shift, t_shared in zip((0.0, 0.05), results_shared):
+        src = source + shift
+        reg = ProbabilisticRegistration(src, target, p)
+        reg.align()
+        np.testing.assert_array_equal(np.asarray(reg.transformation()), t_shared)
