@@ -1079,16 +1079,34 @@ def _group_by_row(source, source_valid, lut_d, origin_d, dims_d,
     local = pos - start_pos  # position within the window's run
     gw = local >> lgseg  # group index within the pool row
 
-    # 3. groups per pool row = max over its windows; exclusive cumsum gives
-    # each row's group base — group ids stay ordered by pool row, which the
-    # class-prefix budgets rely on.
-    mq = (
-        jnp.zeros((n_rows + 1,), jnp.int32)
-        .at[qs]
-        .max(gw + 1, mode="drop")[:n_rows]
+    # 3. groups per pool row = max over its windows; each row's group base =
+    # groups of all rows before it — group ids stay ordered by pool row,
+    # which the class-prefix budgets rely on. Computed WITHOUT the
+    # per-row scatter-max (a serialized 131k-update scatter, 1.15 ms/iter
+    # in the KITTI trace) or the base gather: a row's windows are adjacent
+    # sort runs, so a SEGMENTED running max of (gw+1) over the sorted
+    # sources (segment = pool row) reaches the row's group count at its
+    # last element; an exclusive cumsum of those row-end values is exactly
+    # the old cumsum(mq) base, already aligned per source.
+    row_starts = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), qs[1:] != qs[:-1]]
     )
-    base = jnp.cumsum(mq) - mq
-    gid = base[jnp.minimum(qs, n_rows - 1)] + gw
+    flag = jnp.int32(1) << 30  # gw + 1 <= n < 2^30
+    packed = jnp.where(row_starts, flag, 0) | (gw + 1)
+
+    def _seg_max(a, b):
+        vb = b & (flag - 1)
+        va = a & (flag - 1)
+        keep_a_flag = a & flag
+        merged = keep_a_flag | jnp.maximum(va, vb)
+        return jnp.where((b & flag) != 0, b, merged)
+
+    row_run_max = lax.associative_scan(_seg_max, packed) & (flag - 1)
+    row_ends = jnp.concatenate(
+        [qs[1:] != qs[:-1], jnp.ones((1,), jnp.bool_)]
+    )
+    contrib = jnp.where(row_ends, row_run_max, 0)
+    gid = (jnp.cumsum(contrib) - contrib) + gw
     slot = (f << lgseg) + (local & ((jnp.int32(1) << lgseg) - 1))
     dst = jnp.where(dead, s_pad, gid * GROUP + slot)
     overflow = jnp.sum(jnp.where(dst >= s_pad, 1, 0)) - jnp.sum(dead)
