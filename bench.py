@@ -90,11 +90,16 @@ def measure(n_points: int, n_iter: int, repeats: int, blocks: int):
     src, tgt = build_pair(n_points)
     run_once(src, tgt, n_iter)  # warm-up: compile
     block_best = []
+    cap_hits = 0  # inner solves that ran into max_inner_iterations
     for _ in range(blocks):
-        times = [run_once(src, tgt, n_iter)[0] for _ in range(repeats)]
+        times = []
+        for _ in range(repeats):
+            t, reg = run_once(src, tgt, n_iter)
+            times.append(t)
+            cap_hits += reg.inner_cap_hits
         block_best.append(min(times))
     med = sorted(block_best)[len(block_best) // 2]
-    return med, block_best
+    return med, block_best, cap_hits
 
 
 def roundtrip_latency_ms(samples: int = 5) -> float:
@@ -142,9 +147,9 @@ def main():
     enable_persistent_compilation_cache()
 
     if args.record_cpu_baseline:
-        pair_seconds, _ = measure(args.points, args.iters, args.repeats, 1)
+        pair_seconds, _, _ = measure(args.points, args.iters, args.repeats, 1)
     else:
-        pair_seconds, block_best = measure(
+        pair_seconds, block_best, cap_hits = measure(
             args.points, args.iters, args.repeats, args.blocks
         )
     pairs_per_s = 1.0 / pair_seconds
@@ -196,6 +201,12 @@ def main():
                 # --blocks blocks (median is the headline value).
                 "spread": [round(r, 4) for r in block_rates],
                 "roundtrip_ms": round(roundtrip_latency_ms(), 2),
+                # Inner LM solves that hit max_inner_iterations across every
+                # measured pair (the reference runs Ceres unbounded,
+                # src/prob_point_cloud_registration.cc:96 — nonzero here
+                # would mean the bench operating point diverges from
+                # reference behavior by construction; see docs/PERF.md).
+                "inner_cap_hits": cap_hits,
             }
         )
     )

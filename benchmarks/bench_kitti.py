@@ -92,6 +92,11 @@ def main():
                   else ("grid" if reg._grid is not None else "brute")),
             "mean_residual": float(reg.records[-1].final_cost)
             / max(reg.records[-1].num_correspondences, 1),
+            # Inner solves that hit max_inner_iterations (the reference
+            # runs Ceres unbounded, src/prob_point_cloud_registration.cc:96
+            # — nonzero means this operating point diverges from reference
+            # behavior by construction).
+            "inner_cap_hits": reg.inner_cap_hits,
         }
     )
 

@@ -120,6 +120,9 @@ def main():
             "unit": "pairs/s",
             "n_pairs": n_pairs,
             "total_seconds": round(seconds, 2),
+            # Truncated inner solves vs the reference's unbounded Ceres
+            # (src/prob_point_cloud_registration.cc:96).
+            "inner_cap_hits": result.inner_cap_hits,
         }
         if gt_poses is not None:
             from probabilistic_point_clouds_registration_tpu.utils.eval import (

@@ -28,6 +28,9 @@ def main():
     ap.add_argument("--no_points", action="store_true")
     ap.add_argument("--demand_budget", action="store_true",
                     help="probe at the demand-lifted budget the product runs")
+    ap.add_argument("--impl", default="loop", choices=["loop", "bitonic"],
+                    help="k-selection kernel: min-extraction loop (default) "
+                         "or the bitonic partial sort (ops/select_bitonic)")
     args = ap.parse_args()
 
     import jax
@@ -103,6 +106,7 @@ def main():
         return_points=return_points,
         dyn_rounds=pool.small_unions,
         select_max_w=pool.select_max_w,
+        select_impl=args.impl,
     )
 
     from functools import partial
@@ -143,6 +147,7 @@ def main():
     emit(
         {
             "config": f"{args.fixture}{args.points // 1000}k_pool_search",
+            "impl": args.impl,
             "metric": "search_ms_per_iter",
             "value": round(per_iter * 1e3, 2),
             "unit": "ms",

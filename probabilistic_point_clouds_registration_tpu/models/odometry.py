@@ -68,12 +68,17 @@ class OdometryResult:
       per_pair_cost: final weighted EM cost of each pair's last outer
         iteration (diagnostic; from the CSV report's final_cost column).
       reports: per-pair CSV iteration reports.
+      inner_cap_hits: total inner LM solves across the sequence that ran
+        into params.max_inner_iterations (the reference runs Ceres
+        unbounded, src/prob_point_cloud_registration.cc:96 — nonzero means
+        some solves were truncated relative to reference behavior).
     """
 
     poses: List[np.ndarray] = field(default_factory=list)
     relative_transforms: List[np.ndarray] = field(default_factory=list)
     per_pair_cost: List[float] = field(default_factory=list)
     reports: List[str] = field(default_factory=list)
+    inner_cap_hits: int = 0
 
     def ate_rmse(self, ground_truth_poses: Sequence[np.ndarray]) -> float:
         return ate_rmse(self.poses, list(ground_truth_poses))
@@ -91,6 +96,7 @@ def save_checkpoint(path: Union[str, Path], result: OdometryResult) -> None:
         # Reports persist too so reports[i] stays aligned with
         # relative_transforms[i] across resume.
         "reports": result.reports,
+        "inner_cap_hits": result.inner_cap_hits,
     }
     tmp = path.with_suffix(path.suffix + ".tmp")
     tmp.write_text(json.dumps(payload))
@@ -113,6 +119,7 @@ def load_checkpoint(path: Union[str, Path]) -> Optional[OdometryResult]:
         ],
         per_pair_cost=list(payload["per_pair_cost"]),
         reports=list(payload.get("reports", [])),
+        inner_cap_hits=int(payload.get("inner_cap_hits", 0)),
     )
 
 
@@ -202,6 +209,7 @@ def run_odometry(
                     result_final_cost(reg) if reg.records else float("nan")
                 )
                 result.reports.append(reg.report())
+                result.inner_cap_hits += reg.inner_cap_hits
 
                 if checkpoint_path is not None:
                     save_checkpoint(checkpoint_path, result)

@@ -1203,7 +1203,7 @@ def _xla_class_select(rows4, win_xyz, win_idx, *, k, kp, radius,
     static_argnames=(
         "k", "radius", "class_widths", "class_ends", "class_budgets",
         "budget_rows", "interpret", "return_points", "dyn_rounds",
-        "select_max_w",
+        "select_max_w", "select_impl",
     ),
 )
 def fused_pool_search(
@@ -1227,6 +1227,7 @@ def fused_pool_search(
     return_points: bool = False,
     dyn_rounds: bool = False,
     select_max_w: int | None = None,
+    select_impl: str = "loop",
 ):
     """Radius-capped KNN via width-class pools + the Pallas select kernel.
 
@@ -1239,6 +1240,12 @@ def fused_pool_search(
     ``select_max_w`` is the narrow-class cutoff frozen at prepack-build time
     (PoolPrepack.select_max_w); None resolves it from the current default
     backend (direct/legacy calls only).
+
+    ``select_impl`` routes the kernel classes: "loop" (default — the
+    min-extraction kernel) or "bitonic" (ops/select_bitonic.py — the
+    partial-sort A/B candidate; only valid for k <= 32 and pow2 class
+    widths, which every TPU plan satisfies). Results are bit-identical
+    between the two (tests/test_select_bitonic.py).
     """
     smw = _select_max_w() if select_max_w is None else select_max_w
     n = source.shape[0]
@@ -1303,12 +1310,26 @@ def fused_pool_search(
                 ),
                 axis=1,
             )
-            res = _run_select(
-                padded[: b_c * GROUP], win_xyz, win_idx, w_blk, u_blk,
-                k=k, n_lanes=w_c, radius=radius, interpret=interpret,
-                return_points=return_points, dyn_rounds=dyn_rounds,
-                block_groups=bg,
-            )
+            if (
+                select_impl == "bitonic"
+                and k <= 32
+                and w_c & (w_c - 1) == 0
+            ):
+                from .select_bitonic import run_select_bitonic
+
+                res = run_select_bitonic(
+                    padded[: b_c * GROUP], win_xyz, win_idx, w_blk, u_blk,
+                    k=k, n_lanes=w_c, radius=radius,
+                    block_groups=bg, interpret=interpret,
+                    return_points=return_points,
+                )
+            else:
+                res = _run_select(
+                    padded[: b_c * GROUP], win_xyz, win_idx, w_blk, u_blk,
+                    k=k, n_lanes=w_c, radius=radius, interpret=interpret,
+                    return_points=return_points, dyn_rounds=dyn_rounds,
+                    block_groups=bg,
+                )
         class_results.append((b_c, in_class, res))
         # Coverage: groups are sorted by row (descending width), so any
         # class-<=c window past this class's budget means a missed group.

@@ -68,9 +68,14 @@ class DistributedRegistration(ProbabilisticRegistration):
         ground_truth_cloud: Optional[np.ndarray] = None,
         interpret: Optional[bool] = None,
         layout: str = "auto",
+        debug_replication: bool = False,
     ):
         if layout not in ("auto", "targets", "points"):
             raise ValueError(f"layout must be auto|targets|points: {layout}")
+        # Runtime replication assert on every chunk's merged results (the
+        # check_vma=False substitute for the Pallas path); cheap relative
+        # to the merge itself, but default-off in production.
+        self._debug_replication = bool(debug_replication)
         # Shared host-side ctor pieces (base class): validation, streams,
         # compile cache, source load + voxel filter, ground-truth MSE.
         self._init_host_prelude(source_cloud, params)
@@ -216,6 +221,7 @@ class DistributedRegistration(ProbabilisticRegistration):
             source_rows_per_shard=self._rows_per_shard,
             interpret=self._interpret,
             budget_boost=self._pool_budget_boost,
+            debug_replication=self._debug_replication,
             **self._conv_statics(),
         )
 
@@ -247,6 +253,7 @@ class DistributedRegistration(ProbabilisticRegistration):
             radius=p.radius,
             lm_config=lm,
             capacity=sg.capacity,
+            debug_replication=self._debug_replication,
             **self._conv_statics(),
         )
         self._grid_state = (

@@ -412,6 +412,7 @@ def make_sharded_grid_align_scan(
     cost_drop_thresh: float,
     n_cost_drop_it: int,
     source_tile: int = 4096,
+    debug_replication: bool = False,
 ):
     """Up to ``chunk`` sharded GRID outer iterations in one device program
     with the on-device stopping rule — the multi-device fallback scan of
@@ -455,9 +456,21 @@ def make_sharded_grid_align_scan(
                 local_d, corr.indices, pts, k=k, axis_name=TARGETS_AXIS
             )
             res = em_lm_solve(moved, best_p, found, q0, t0, cfg)
+            q_out = res.q
+            if debug_replication:
+                # Runtime replication assert on the merged distances, the
+                # same belt-and-braces check the pooled scan carries (here
+                # the all-gather merge's replication is ALSO statically
+                # proven via check_vma below when the jax provides
+                # all_gather_invariant).
+                fin = jnp.where(found, best_d, 0.0)
+                dev = jnp.max(jnp.abs(fin - lax.pmean(fin, TARGETS_AXIS)))
+                q_out = q_out + jnp.where(dev == 0, 0.0, jnp.nan).astype(
+                    q_out.dtype
+                )
             n_corr = lax.psum(jnp.sum(found.astype(jnp.int32)), POINTS_AXIS)
             return (
-                res.q,
+                q_out,
                 res.t,
                 res.initial_cost,
                 res.final_cost,
@@ -485,6 +498,9 @@ def make_sharded_grid_align_scan(
             P(), P(), P(), P(), P(), P(), P(), P(), P(),
         ),
         out_specs=(P(),) * 9,
-        check_vma=False,
+        # Statically provable like the step factory above: the all-gather
+        # merge uses all_gather_invariant where available, and nothing in
+        # the grid path hides vma from the checker (no Pallas inside).
+        check_vma=supports_structural_replication(),
     )
     return jax.jit(sharded)

@@ -360,6 +360,7 @@ def make_sharded_pool_registration_step(
     lm_config: LMConfig,
     source_rows_per_shard: int,
     interpret: bool = False,
+    debug_replication: bool = False,
 ):
     """Jitted full outer iteration with the POOLED engine over a 2D mesh.
 
@@ -459,6 +460,22 @@ def make_sharded_pool_registration_step(
             )
             result = em_lm_solve(moved, best_p, found, q0, t0, cfg)
             n_corr = lax.psum(jnp.sum(found.astype(jnp.int32)), POINTS_AXIS)
+        if debug_replication:
+            # Runtime replication assert (the property check_vma=False
+            # stops asserting statically — pallas_call carries no vma in
+            # interpret mode): the merged distances (non-scatter) / the
+            # two-axis-psum'd solve outputs (scatter) must be identical
+            # across the targets axis; any divergence poisons q with NaN.
+            probe = (
+                result.t
+                if scatter
+                else jnp.where(found, best_d, 0.0)
+            )
+            dev = jnp.max(jnp.abs(probe - lax.pmean(probe, TARGETS_AXIS)))
+            result = result._replace(
+                q=result.q
+                + jnp.where(dev == 0, 0.0, jnp.nan).astype(result.q.dtype)
+            )
         ov = lax.psum(
             lax.psum(overflow, TARGETS_AXIS), POINTS_AXIS
         )
@@ -633,13 +650,17 @@ def make_sharded_pool_align_scan(
                 )
                 res = em_lm_solve(moved, best_p, found, q0, t0, cfg)
             q_out = res.q
-            if debug_replication and not scatter:
+            if debug_replication:
                 # Runtime replication assert for the merged outputs (the
                 # property the vma checker cannot prove through the Pallas
-                # kernel): if any device's merged distances diverge from
-                # the targets-axis mean, poison the solve outputs with NaN
-                # so tests (and any parity harness) fail loudly.
-                fin = jnp.where(found, best_d, 0.0)
+                # kernel): if any device's merged distances (non-scatter)
+                # or two-axis-psum'd solve outputs (scatter — the merged
+                # blocks are intentionally NOT replicated there) diverge
+                # from the targets-axis mean, poison the solve outputs
+                # with NaN so tests (and any parity harness) fail loudly.
+                fin = (
+                    res.t if scatter else jnp.where(found, best_d, 0.0)
+                )
                 dev = jnp.max(
                     jnp.abs(fin - lax.pmean(fin, TARGETS_AXIS))
                 )

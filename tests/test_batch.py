@@ -37,9 +37,12 @@ def _ate(a, b):
     return float(np.sqrt(np.mean(np.sum((ta - tb) ** 2, axis=1))))
 
 
-def test_batched_matches_sequential():
+@pytest.mark.parametrize("dof", [np.inf, 5.0], ids=["gaussian", "t5"])
+def test_batched_matches_sequential(dof):
+    # dof=inf flips the weight kernel's static Gaussian branch
+    # (ops/weights.py) — the batched/vmapped path needs its own coverage.
     scans, gt = _sequence(4)
-    cfg = LMConfig(dof=5.0, max_iterations=25)
+    cfg = LMConfig(dof=dof, max_iterations=25)
     poses_b, result = run_odometry_batched(
         scans, k=10, radius=1.0, lm_config=cfg, n_outer=6,
         pad_multiple=128, dtype="float64",
@@ -51,7 +54,7 @@ def test_batched_matches_sequential():
         scans,
         RegistrationParams(max_neighbours=10, radius=1.0, n_iter=6,
                            cost_drop_thresh=-1.0, dtype="float64",
-                           max_inner_iterations=25),
+                           max_inner_iterations=25, dof=dof),
     )
     # Same relative transforms to solver precision.
     for a, b in zip(poses_b, seq.poses):

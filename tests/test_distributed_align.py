@@ -55,13 +55,20 @@ def _params(**kw):
     return RegistrationParams(**base)
 
 
-def test_distributed_align_matches_single_device():
+@pytest.mark.parametrize("dof", [np.inf, 5.0], ids=["gaussian", "t5"])
+def test_distributed_align_matches_single_device(dof):
+    # Both weight models: the Gaussian (dof=inf) branch changes the weight
+    # kernel's STATIC structure (ops/weights.py), so the mesh path needs its
+    # own coverage — a single-device-only Gaussian suite would not catch a
+    # sharded static-branch divergence.
     src, tgt = _pair()
-    single = ProbabilisticRegistration(src, tgt, _params(search_impl="pool"))
+    single = ProbabilisticRegistration(
+        src, tgt, _params(search_impl="pool", dof=dof)
+    )
     t_single = single.align()
 
     mesh = make_mesh(2, 4)
-    dist = DistributedRegistration(src, tgt, _params(), mesh=mesh)
+    dist = DistributedRegistration(src, tgt, _params(dof=dof), mesh=mesh)
     t_dist = dist.align()
 
     # Same trajectory (5e-6: f32 collectives reduce in a different order

@@ -10,6 +10,7 @@ exactly equal.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from probabilistic_point_clouds_registration_tpu.core.types import (
     pad_cloud,
@@ -115,16 +116,19 @@ def _run_sharded(src_p, sv, tgt_p, n_tgt, k, radius, cfg, dp, tp):
     return out
 
 
-def test_sharded_pool_step_matches_single_device_bunny():
+@pytest.mark.parametrize("dof", [np.inf, 5.0], ids=["gaussian", "t5"])
+def test_sharded_pool_step_matches_single_device_bunny(dof):
     """Full outer iteration (pooled search + EM-LM solve) on a 2x4 mesh vs
-    the single-device pooled engine, dense bench-style pair."""
+    the single-device pooled engine, dense bench-style pair. Parametrized
+    over both weight models: dof=inf flips the weight kernel's static
+    Gaussian branch (ops/weights.py), which needs mesh coverage of its own."""
     k, radius = 20, 0.075
     n = 12_000  # interpret-mode kernel on CPU: bench scale is minutes
     src, tgt = _bunny_pair(n)
     src_p, n_src = pad_cloud(src, 512, pad_value=0.0)
     tgt_p, n_tgt = pad_cloud(tgt, 512, pad_value=0.0)
     sv = np.asarray(valid_mask(src_p.shape[0], n_src))
-    cfg = LMConfig(dof=5.0, dimension=3, max_iterations=12)
+    cfg = LMConfig(dof=dof, dimension=3, max_iterations=12)
 
     corr, pts = _single_device_pool(src_p, sv, tgt_p, n_tgt, k, radius)
     ref = em_lm_solve(
