@@ -39,6 +39,10 @@ def main():
              "3.0 (the reference CLI default) for real meter-scale datasets",
     )
     ap.add_argument("--backend", default=None)
+    ap.add_argument("--mesh", default=None, metavar="DPxTP",
+                    help="run each pair's align on a DPxTP device mesh "
+                         "(per-pair shard plans + pool builds staged on "
+                         "the prep thread)")
     args = ap.parse_args()
     if args.backend:
         import jax
@@ -98,6 +102,15 @@ def main():
         outer_chunk=12 if args.kitti_like else 4,
         max_inner_iterations=50 if args.kitti_like else 100,
     )
+    mesh = None
+    if args.mesh:
+        from probabilistic_point_clouds_registration_tpu.parallel import (
+            make_mesh,
+        )
+
+        dp, tp = (int(x) for x in args.mesh.lower().split("x"))
+        mesh = make_mesh(dp, tp)
+
     # Two passes: the cold pass pays every one-time cost (the KITTI-scale
     # scan program costs ~minutes on the remote TPU compiler in bad service
     # windows, and execution itself shows multi-second stalls on the
@@ -107,12 +120,12 @@ def main():
     # prep-thread overlap targets. Both are emitted.
     for phase in ("cold", "steady"):
         t0 = time.perf_counter()
-        result = run_odometry(scans, params)
+        result = run_odometry(scans, params, mesh=mesh)
         seconds = time.perf_counter() - t0
         n_pairs = len(result.relative_transforms)
 
         record = {
-            "config": label,
+            "config": label + (f"_mesh{args.mesh}" if args.mesh else ""),
             "phase": phase,
             "radius": radius,
             "metric": "scan_pairs_per_s",

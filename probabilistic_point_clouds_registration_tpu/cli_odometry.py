@@ -68,6 +68,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dtype", default="float32", choices=["float32", "float64"])
     p.add_argument("--backend", default=None,
                    help="JAX platform override (e.g. cpu) for local runs")
+    p.add_argument("--mesh", default=None, metavar="DPxTP",
+                   help="Multi-device mesh for each pair's align, e.g. 2x4 "
+                        "= 2 'points' shards x 4 'targets' shards (needs "
+                        "dp*tp visible devices; per-pair shard plans and "
+                        "pool builds stage on the prep thread)")
     return p
 
 
@@ -121,7 +126,14 @@ def main(argv=None) -> int:
     if args.no_resume and ckpt.exists():
         ckpt.unlink()
 
-    result = run_odometry(scans, params, checkpoint_path=ckpt)
+    mesh = None
+    if args.mesh:
+        from .parallel import make_mesh
+
+        dp, tp = (int(x) for x in args.mesh.lower().split("x"))
+        mesh = make_mesh(dp, tp)
+
+    result = run_odometry(scans, params, checkpoint_path=ckpt, mesh=mesh)
     print(f"Trajectory written to {ckpt} ({len(result.poses)} poses)")
 
     poses = result.poses

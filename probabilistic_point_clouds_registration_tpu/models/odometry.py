@@ -129,6 +129,7 @@ def run_odometry(
     *,
     checkpoint_path: Optional[Union[str, Path]] = None,
     on_pair: Optional[Callable[[int, np.ndarray], None]] = None,
+    mesh=None,
 ) -> OdometryResult:
     """Register consecutive scans and return the composed trajectory.
 
@@ -143,6 +144,13 @@ def run_odometry(
         and a pre-existing checkpoint resumes the run at the first
         unregistered pair.
       on_pair: optional callback (pair_index, absolute_pose) after each pair.
+      mesh: optional ``jax.sharding.Mesh`` ("points", "targets") — each pair
+        then runs the MULTI-DEVICE align (parallel.align
+        .DistributedRegistration), with the per-pair shard plans + device
+        pool builds staged on the same prep thread that overlaps the
+        single-device pipeline's target prep. Pairs whose target the
+        sharded pooled engine declines fall back to the single-device path
+        (trajectory and checkpoints stay well-formed either way).
     """
     params = params or RegistrationParams()
     out = OutputStream(params.verbose)
@@ -165,6 +173,17 @@ def run_odometry(
 
     from ..io.prefetch import ScanPrefetcher
 
+    if mesh is None:
+        prep_fn = lambda scan: ProbabilisticRegistration.prepare_target(  # noqa: E731
+            scan, params, True
+        )
+    else:
+        from ..parallel.align import DistributedRegistration
+
+        prep_fn = lambda scan: DistributedRegistration.prepare_target(  # noqa: E731
+            scan, params, mesh, device=True
+        )
+
     start_pair = len(result.relative_transforms)
     # Target-prep pipeline: pair i's TARGET is scan i, which was pair i-1's
     # source — so while pair i-1 computes on device, a background thread
@@ -176,10 +195,7 @@ def run_odometry(
             prev_scan = prefetcher.get(start_pair) if start_pair < n_scans - 1 else None
             prep_future = None
             if prev_scan is not None:
-                prep_future = prep_pool.submit(
-                    ProbabilisticRegistration.prepare_target, prev_scan,
-                    params, True,
-                )
+                prep_future = prep_pool.submit(prep_fn, prev_scan)
 
             for i in range(start_pair, n_scans - 1):
                 # Overlaps the next scans' disk read/decompress with device compute.
@@ -189,17 +205,31 @@ def run_odometry(
                 # Schedule the NEXT pair's target prep (this pair's source)
                 # before the device work starts.
                 if i + 1 < n_scans - 1:
-                    prep_future = prep_pool.submit(
-                        ProbabilisticRegistration.prepare_target, source,
-                        params, True,
-                    )
+                    prep_future = prep_pool.submit(prep_fn, source)
                 else:
                     prep_future = None
                 out << f"[pair {i}] registering scan {i + 1} ({source.shape[0]} pts) onto scan {i} ({target.shape[0]} pts)\n"
 
-                reg = ProbabilisticRegistration(
-                    source, target, params, prepared_target=prepared
-                )
+                if mesh is None:
+                    reg = ProbabilisticRegistration(
+                        source, target, params, prepared_target=prepared
+                    )
+                elif prepared is not None and prepared.get("sp") is not None:
+                    from ..parallel.align import DistributedRegistration
+
+                    reg = DistributedRegistration(
+                        source, target, params, mesh=mesh,
+                        prepared_target=prepared,
+                    )
+                else:
+                    # The sharded pooled engine declined this target —
+                    # register the pair single-device rather than fail the
+                    # sequence.
+                    out << (
+                        f"[pair {i}] sharded pooled engine declined; "
+                        "single-device fallback\n"
+                    )
+                    reg = ProbabilisticRegistration(source, target, params)
                 t_rel = reg.align()
 
                 pose = result.poses[-1] @ t_rel

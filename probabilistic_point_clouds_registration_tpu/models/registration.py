@@ -831,23 +831,23 @@ class ProbabilisticRegistration:
         # Device-resident padded arrays (static shapes; compiled once).
         # Everything is staged in host numpy first and shipped in ONE
         # jax.device_put of the whole bundle — per-array uploads each pay a
-        # dispatch/roundtrip on a tunneled chip (~100 ms of ctor time before).
+        # dispatch/roundtrip on a tunneled chip (~100 ms of ctor time
+        # before). The raw padded TARGET is not in the bundle: the pooled
+        # flagship path never reads it (pool payloads carry the selected
+        # neighbors' coordinates), so it uploads lazily with the engines
+        # that do (_target_dev property; the pooled seeds below already
+        # ship the cell-sorted target).
         pad = params.pad_multiple
         fs, self._n_src = pad_cloud(self.filtered_source, pad, pad_value=0.0)
         tg, self._n_tgt = prepared_target["tg"], prepared_target["n_tgt"]
         np_dtype = np.dtype(params.dtype)
         bundle = {
             "src": fs.astype(np_dtype),
-            "tgt": tg.astype(np_dtype),
             "src_valid": np.arange(fs.shape[0]) < self._n_src,
-            "tgt_valid": np.arange(tg.shape[0]) < self._n_tgt,
         }
-
-        dev = jax.device_put(bundle)
-        self._filtered_src_dev = dev["src"]
-        self._target_dev = dev["tgt"]
-        self._src_valid = dev["src_valid"]
-        self._tgt_valid = dev["tgt_valid"]
+        self._tg_padded = tg
+        self._target_dev_arr = None
+        self._tgt_valid_arr = None
 
         # Target hash grid, built once per pair (search_impl
         # "auto"/"grid"/"fused"; possibly prebuilt on a prefetch thread);
@@ -874,6 +874,9 @@ class ProbabilisticRegistration:
         self._pool = None
         self._pool_budget_base = 0
         self._fused_interpret = False
+        pool = None
+        plan = None
+        want_pool = False
         if grid is not None and params.search_impl in ("auto", "fused", "pool"):
             on_tpu = jax.default_backend() == "tpu"
             from ..ops import fused_grid as _fg
@@ -899,56 +902,73 @@ class ProbabilisticRegistration:
                 if pool is None and plan is not False:
                     if plan is None:
                         plan = _fp.plan_pool_host(grid, prepared_target["tg"])
-                    if plan is not None:
-                        pool = _fp.build_pool_prepack(
-                            grid,
-                            prepared_target["tg"],
-                            dtype=np_dtype,
-                            plan=plan,
-                            k=params.max_neighbours,
-                        )
-                if pool is not None:
-                    self._pool = pool
-                    # Size the row budget from the REAL source's grouping
-                    # demand (~20 ms of numpy at 131k): the plan's
-                    # target-occupancy proxy undercounts real pairs ~1.5x
-                    # (moved sources land in dilated shell cells the proxy
-                    # scores 0), and the resulting runtime overflow cost a
-                    # discarded chunk + a SECOND ~minutes remote compile on
-                    # every sequence's first pair. The overflow flag stays
-                    # as the guard for intra-pair drift.
-                    if plan:
-                        from ..core.se3 import np_quat_to_matrix
+                    want_pool = plan is not None
 
-                        rot = np_quat_to_matrix(
-                            np.asarray(params.initial_rotation, np.float64)
-                        )
-                        moved0 = (
-                            self.filtered_source @ rot.T
-                            + np.asarray(
-                                params.initial_translation, np.float64
-                            )
-                        )
-                        demand = _fp.estimate_pool_demand_rows(
-                            plan, moved0
-                        )
-                        # ~25% buckets: per-pair demand jitters and the
-                        # budget is a static of the scan program.
-                        self._pool_budget_base = max(
-                            pool.budget_rows,
-                            bucket_rows(int(1.25 * demand), step_bits=3),
-                        )
-                    else:
-                        self._pool_budget_base = pool.budget_rows
-                    self._fused_interpret = not on_tpu
-                    self.out << (
-                        f"Pooled engine: {pool.n_dilated} dilated cells, "
-                        f"classes {pool.class_widths} x {pool.class_ends}\n"
+        # ONE upload for everything the chosen engine needs: source rows
+        # (+ pool seeds when the pooled engine takes the pair). Separate
+        # device_puts each settle through the tunnel's RPC latency.
+        if want_pool:
+            from ..ops import fused_pool as _fp
+
+            bundle["pool_seeds"] = _fp.pool_seed_host(plan, np_dtype)
+        dev = jax.device_put(bundle)
+        self._filtered_src_dev = dev["src"]
+        self._src_valid = dev["src_valid"]
+        if want_pool:
+            pool = _fp.build_pool_prepack(
+                grid,
+                prepared_target["tg"],
+                dtype=np_dtype,
+                plan=plan,
+                k=params.max_neighbours,
+                dev_seeds=dev["pool_seeds"],
+            )
+
+        if grid is not None and params.search_impl in ("auto", "fused", "pool"):
+            if pool is not None:
+                from ..ops import fused_pool as _fp
+
+                self._pool = pool
+                # Size the row budget from the REAL source's grouping
+                # demand (~20 ms of numpy at 131k): the plan's
+                # target-occupancy proxy undercounts real pairs ~1.5x
+                # (moved sources land in dilated shell cells the proxy
+                # scores 0), and the resulting runtime overflow cost a
+                # discarded chunk + a SECOND ~minutes remote compile on
+                # every sequence's first pair. The overflow flag stays
+                # as the guard for intra-pair drift.
+                if plan:
+                    from ..core.se3 import np_quat_to_matrix
+
+                    rot = np_quat_to_matrix(
+                        np.asarray(params.initial_rotation, np.float64)
                     )
+                    moved0 = (
+                        self.filtered_source @ rot.T
+                        + np.asarray(
+                            params.initial_translation, np.float64
+                        )
+                    )
+                    demand = _fp.estimate_pool_demand_rows(
+                        plan, moved0
+                    )
+                    # ~25% buckets: per-pair demand jitters and the
+                    # budget is a static of the scan program.
+                    self._pool_budget_base = max(
+                        pool.budget_rows,
+                        bucket_rows(int(1.25 * demand), step_bits=3),
+                    )
+                else:
+                    self._pool_budget_base = pool.budget_rows
+                self._fused_interpret = not on_tpu
+                self.out << (
+                    f"Pooled engine: {pool.n_dilated} dilated cells, "
+                    f"classes {pool.class_widths} x {pool.class_ends}\n"
+                )
             if self._pool is None and params.search_impl in ("auto", "fused"):
                 counts = (grid["bucket_idx"] >= 0).sum(axis=1)
                 est_rows = int(np.ceil(counts / _fg.GROUP).sum()) * _fg.GROUP
-                dense_fit = est_rows <= 1.7 * self._target_dev.shape[0]
+                dense_fit = est_rows <= 1.7 * self._tg_padded.shape[0]
                 if params.search_impl == "fused" or (on_tpu and dense_fit):
                     # Dense-scan fallback when the pool plan declines (union
                     # beyond MAX_CLASS_LANES / pools past MAX_POOL_BYTES):
@@ -971,6 +991,31 @@ class ProbabilisticRegistration:
 
         self._lm_config = self._make_lm_config(params)
         self._init_bookkeeping(params)
+
+    @property
+    def _target_dev(self):
+        """Lazy padded-target upload: the pooled flagship path never reads
+        the raw target rows (the pool prepack ships the cell-sorted target
+        and the select kernel emits neighbor coordinates), so the ~16 B/pt
+        upload (and its tunnel settle) is paid only by the engines that
+        consume it (fused/grid/brute)."""
+        if self._target_dev_arr is None:
+            dev = jax.device_put(
+                {
+                    "tgt": self._tg_padded.astype(np.dtype(self.params.dtype)),
+                    "tgt_valid": np.arange(self._tg_padded.shape[0])
+                    < self._n_tgt,
+                }
+            )
+            self._target_dev_arr = dev["tgt"]
+            self._tgt_valid_arr = dev["tgt_valid"]
+        return self._target_dev_arr
+
+    @property
+    def _tgt_valid(self):
+        if self._tgt_valid_arr is None:
+            self._target_dev  # noqa: B018 — triggers the batched upload
+        return self._tgt_valid_arr
 
     def _ensure_grid_device(self):
         """Materialize the XLA hash grid on device (one batched device_put).

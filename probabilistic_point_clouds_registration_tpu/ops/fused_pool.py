@@ -916,6 +916,30 @@ def estimate_pool_demand_rows(plan: dict, source: np.ndarray,
     return int(GROUP * per_row_max.sum())
 
 
+def pool_seed_host(plan: dict, dtype=np.float32) -> dict:
+    """The pool prepack's upload dict (host numpy), shared by
+    :func:`build_pool_prepack` and callers that merge these seeds into a
+    larger single ``jax.device_put`` (models/registration.py ctor — on a
+    tunneled chip every separate put pays RPC latency, so the ctor ships
+    source rows + seeds in ONE transfer)."""
+    dil = plan["dil"]
+    return {
+        "packed": plan["packed"],
+        "cell_start": plan["cell_start"],
+        "cell_count": plan["cell_count"],
+        "base_e": plan["base_e"],
+        "d_cells_e": plan["d_cells_e"],
+        "off_e": plan["off_e"],
+        "d_cells": plan["d_cells"],
+        "row_vals": plan["row_vals"],
+        "qmeta_vals": plan["qmeta_vals"],
+        "dims_d": dil["dims_d"],
+        "origin_d": dil["origin_d"].astype(dtype),
+        "width_lut": plan["width_lut"],
+        "union_lut": plan["union_lut"],
+    }
+
+
 def build_pool_prepack(
     grid_host: dict,
     target: np.ndarray,
@@ -923,11 +947,14 @@ def build_pool_prepack(
     plan: dict | None = None,
     k: int = 20,
     select_max_w: int | None = None,
+    dev_seeds: dict | None = None,
 ) -> PoolPrepack | None:
     """Build the pooled fused-search state (host plan + device packing).
 
     Pass a precomputed ``plan`` (from :func:`plan_pool_host`, e.g. built on
     the sequence pipeline's target-prep thread) to skip the host half here.
+    ``dev_seeds`` takes the already-device-put :func:`pool_seed_host` dict
+    (callers batching the upload); None uploads here.
     """
     if plan is None:
         plan = plan_pool_host(grid_host, target, select_max_w=select_max_w)
@@ -941,22 +968,10 @@ def build_pool_prepack(
     # between build and search would otherwise route inconsistently).
     smw = _select_max_w() if select_max_w is None else select_max_w
 
-    dev = jax.device_put(
-        {
-            "packed": plan["packed"],
-            "cell_start": plan["cell_start"],
-            "cell_count": plan["cell_count"],
-            "base_e": plan["base_e"],
-            "d_cells_e": plan["d_cells_e"],
-            "off_e": plan["off_e"],
-            "d_cells": plan["d_cells"],
-            "row_vals": plan["row_vals"],
-            "qmeta_vals": plan["qmeta_vals"],
-            "dims_d": dil["dims_d"],
-            "origin_d": dil["origin_d"].astype(dtype),
-            "width_lut": plan["width_lut"],
-            "union_lut": plan["union_lut"],
-        }
+    dev = (
+        dev_seeds
+        if dev_seeds is not None
+        else jax.device_put(pool_seed_host(plan, dtype))
     )
     # One fused device program builds everything: the dense extended-grid
     # LUT (a >100 MB host write + tunnel upload at KITTI scale if

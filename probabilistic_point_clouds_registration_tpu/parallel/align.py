@@ -44,6 +44,7 @@ from .pool_sharded import (
     build_sharded_pool_host,
     build_sharded_pools_device,
     choose_pool_shard_layout,
+    estimate_sharded_demand_rows,
     make_sharded_pool_align_scan,
 )
 
@@ -59,6 +60,79 @@ class DistributedRegistration(ProbabilisticRegistration):
     trajectory and slot-level record parity).
     """
 
+    @staticmethod
+    def prepare_target(
+        target_cloud: np.ndarray,
+        params: RegistrationParams,
+        mesh: jax.sharding.Mesh,
+        device: bool = False,
+        layout: str = "auto",
+        n_src_hint: Optional[int] = None,
+    ) -> dict:
+        """Host-side target prep for the MESH path — the multi-device
+        counterpart of ProbabilisticRegistration.prepare_target.
+
+        Pure numpy (layout choice + per-shard harmonized pool plans), so
+        sequence pipelines run it on the target-prep thread while the
+        current pair computes (models/odometry.py with ``mesh=``);
+        ``device=True`` additionally dispatches the per-shard device pool
+        builds (async — the upload/packing overlaps the current pair).
+
+        The shard-axis layout must be decided HERE (the plan's shard count
+        depends on it); ``n_src_hint`` feeds the occupancy chooser
+        (default: the target's own size — consecutive scans of a sequence
+        are statistically alike). Returns a dict for the constructor's
+        ``prepared_target``; ``sp`` is None when the pooled engine
+        declines the target (the caller falls back to a single-device
+        registration for that pair).
+        """
+        target = np.asarray(target_cloud, dtype=np.float64)
+        if params.target_filter_size > 0:
+            target = voxel_downsample(target, params.target_filter_size)
+        dp = mesh.shape[POINTS_AXIS]
+        tp = mesh.shape[TARGETS_AXIS]
+        est = None
+        want = layout
+        if want == "auto":
+            if tp > 1:
+                n_src = n_src_hint or target.shape[0]
+                ijk = np.floor(
+                    (target - target.min(axis=0)) / params.radius
+                ).astype(np.int64)
+                dims = ijk.max(axis=0) + 1
+                lin = ijk[:, 0] + dims[0] * (ijk[:, 1] + dims[1] * ijk[:, 2])
+                est = choose_pool_shard_layout(
+                    n_src, target.shape[0], np.unique(lin).size, dp * tp, tp
+                )
+                want = est["layout"]
+            else:
+                want = "targets"
+        if want == "points" and tp > 1:
+            devs = mesh.devices.reshape(-1)
+            mesh = make_mesh(devs.size, 1, devices=devs)
+            tp = 1
+        sp = build_sharded_pool_host(
+            target, params.radius, tp, num_valid=target.shape[0],
+            k=params.max_neighbours,
+        )
+        prepared = {
+            "target_cloud": target,
+            "sp": sp,
+            "mesh": mesh,
+            "layout": "points" if want == "points" else "targets",
+            "layout_estimate": est,
+        }
+        if device and sp is not None:
+            from ..utils.compile_cache import (
+                enable_persistent_compilation_cache,
+            )
+
+            enable_persistent_compilation_cache()
+            prepared["pools"] = build_sharded_pools_device(
+                mesh, sp, dtype=np.dtype(params.dtype)
+            )
+        return prepared
+
     def __init__(
         self,
         source_cloud: np.ndarray,
@@ -69,6 +143,7 @@ class DistributedRegistration(ProbabilisticRegistration):
         interpret: Optional[bool] = None,
         layout: str = "auto",
         debug_replication: bool = False,
+        prepared_target: Optional[dict] = None,
     ):
         if layout not in ("auto", "targets", "points"):
             raise ValueError(f"layout must be auto|targets|points: {layout}")
@@ -86,49 +161,67 @@ class DistributedRegistration(ProbabilisticRegistration):
         on_tpu = jax.default_backend() == "tpu"
         self._interpret = (not on_tpu) if interpret is None else interpret
 
-        target = np.asarray(target_cloud, dtype=np.float64)
-        if params.target_filter_size > 0:
-            self.out << (
-                f"Filtering target point cloud with leaf of size "
-                f"{params.target_filter_size}\n"
-            )
-            target = voxel_downsample(target, params.target_filter_size)
-        self.target_cloud = target
-
-        self._init_ground_truth(ground_truth_cloud)
-
-        # Occupancy-aware shard-axis choice (docs/PERF.md round-3 analysis:
-        # target-sharding inflates padded rows toward 8x on sparse scans
-        # while points-sharding is occupancy-neutral; the chooser compares
-        # estimated per-device select-kernel lane work both ways).
-        self._layout_estimate = None
-        want = layout
-        if want == "auto":
-            if self._tp > 1:
-                pts = self.target_cloud
-                ijk = np.floor(
-                    (pts - pts.min(axis=0)) / params.radius
-                ).astype(np.int64)
-                dims = ijk.max(axis=0) + 1
-                lin = ijk[:, 0] + dims[0] * (ijk[:, 1] + dims[1] * ijk[:, 2])
-                self._layout_estimate = choose_pool_shard_layout(
-                    self.filtered_source.shape[0],
-                    pts.shape[0],
-                    np.unique(lin).size,
-                    self._dp * self._tp,
-                    self._tp,
+        if prepared_target is not None:
+            # Target prep (voxel filter, layout choice, harmonized
+            # per-shard pool plans, optionally the device pool builds) ran
+            # on a prep thread — adopt its outputs, including the layout
+            # decision baked into the plan's shard count.
+            target = prepared_target["target_cloud"]
+            self.mesh = prepared_target["mesh"]
+            self._dp = self.mesh.shape[POINTS_AXIS]
+            self._tp = self.mesh.shape[TARGETS_AXIS]
+            self.layout = prepared_target["layout"]
+            self._layout_estimate = prepared_target.get("layout_estimate")
+            self.target_cloud = target
+            self._init_ground_truth(ground_truth_cloud)
+        else:
+            target = np.asarray(target_cloud, dtype=np.float64)
+            if params.target_filter_size > 0:
+                self.out << (
+                    f"Filtering target point cloud with leaf of size "
+                    f"{params.target_filter_size}\n"
                 )
-                want = self._layout_estimate["layout"]
-            else:
-                want = "targets"
-        if want == "points" and self._tp > 1:
-            # Collapse every device onto the "points" axis (device order —
-            # and so ICI adjacency — is preserved; the targets axis becomes
-            # size 1 and the top-k merge degenerates to a no-op).
-            devs = self.mesh.devices.reshape(-1)
-            self.mesh = make_mesh(devs.size, 1, devices=devs)
-            self._dp, self._tp = int(devs.size), 1
-        self.layout = "points" if want == "points" else "targets"
+                target = voxel_downsample(target, params.target_filter_size)
+            self.target_cloud = target
+
+            self._init_ground_truth(ground_truth_cloud)
+
+            # Occupancy-aware shard-axis choice (docs/PERF.md round-3
+            # analysis: target-sharding inflates padded rows toward 8x on
+            # sparse scans while points-sharding is occupancy-neutral; the
+            # chooser compares estimated per-device select-kernel lane work
+            # both ways).
+            self._layout_estimate = None
+            want = layout
+            if want == "auto":
+                if self._tp > 1:
+                    pts = self.target_cloud
+                    ijk = np.floor(
+                        (pts - pts.min(axis=0)) / params.radius
+                    ).astype(np.int64)
+                    dims = ijk.max(axis=0) + 1
+                    lin = ijk[:, 0] + dims[0] * (
+                        ijk[:, 1] + dims[1] * ijk[:, 2]
+                    )
+                    self._layout_estimate = choose_pool_shard_layout(
+                        self.filtered_source.shape[0],
+                        pts.shape[0],
+                        np.unique(lin).size,
+                        self._dp * self._tp,
+                        self._tp,
+                    )
+                    want = self._layout_estimate["layout"]
+                else:
+                    want = "targets"
+            if want == "points" and self._tp > 1:
+                # Collapse every device onto the "points" axis (device
+                # order — and so ICI adjacency — is preserved; the targets
+                # axis becomes size 1 and the top-k merge degenerates to a
+                # no-op).
+                devs = self.mesh.devices.reshape(-1)
+                self.mesh = make_mesh(devs.size, 1, devices=devs)
+                self._dp, self._tp = int(devs.size), 1
+            self.layout = "points" if want == "points" else "targets"
         if self._layout_estimate is not None:
             e = self._layout_estimate
             self.out << (
@@ -173,23 +266,45 @@ class DistributedRegistration(ProbabilisticRegistration):
             for d in range(self._dp)
             if d * rps < n_src
         ]
-        self._sp = build_sharded_pool_host(
-            target,
-            params.radius,
-            self._tp,
-            num_valid=target.shape[0],
-            k=params.max_neighbours,
-            source_slices=slices,
-        )
+        if prepared_target is not None:
+            self._sp = prepared_target["sp"]
+            if self._sp is not None:
+                # The prep thread had no source, so the plan ships without
+                # demand sizing — replay the grouping arithmetic from the
+                # plan's own seeds against the real source slices here
+                # (same numpy replay as the non-prepared path's
+                # build_sharded_pool_host(source_slices=...)).
+                demand = estimate_sharded_demand_rows(self._sp, slices)
+                from ..core.types import bucket_rows
+
+                self._sp = self._sp._replace(
+                    budget_rows=max(
+                        self._sp.budget_rows,
+                        bucket_rows(int(1.25 * demand), step_bits=3),
+                    ),
+                    demand_sized=True,
+                )
+        else:
+            self._sp = build_sharded_pool_host(
+                target,
+                params.radius,
+                self._tp,
+                num_valid=target.shape[0],
+                k=params.max_neighbours,
+                source_slices=slices,
+            )
         if self._sp is None:
             raise ValueError(
                 "target does not fit the sharded pooled engine (degenerate "
                 "cloud, oversized window union, or pool budget); use the "
                 "single-device ProbabilisticRegistration for this pair"
             )
-        self._pools = build_sharded_pools_device(
-            self.mesh, self._sp, dtype=self.dtype
-        )
+        if prepared_target is not None and "pools" in prepared_target:
+            self._pools = prepared_target["pools"]
+        else:
+            self._pools = build_sharded_pools_device(
+                self.mesh, self._sp, dtype=self.dtype
+            )
 
         self._lm_config = self._make_lm_config(params)
         self._init_bookkeeping(params)

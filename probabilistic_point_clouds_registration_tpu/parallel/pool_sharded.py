@@ -265,6 +265,42 @@ def build_sharded_pool_host(
     )
 
 
+def estimate_sharded_demand_rows(
+    sp: ShardedPoolPlan, sources: list
+) -> int:
+    """Measured grouping demand of real source slices against a PREPARED
+    sharded plan (max over every (slice, shard) pair).
+
+    Sequence pipelines build the ShardedPoolPlan on the target-prep thread
+    BEFORE the pair's source exists (parallel.align.DistributedRegistration
+    .prepare_target), so the plan ships without demand sizing; the ctor
+    then replays the grouping arithmetic from the plan's own seed arrays —
+    the same numpy replay as fused_pool.estimate_pool_demand_rows, ~20 ms
+    per (slice, shard) at KITTI scale.
+    """
+    prod_d_pad = sp.plan_key[2]
+    best = 0
+    for s in range(sp.n_shards):
+        plan_like = {
+            "dil": {
+                "dims_d": sp.seeds["dims_d"][s],
+                "origin_d": sp.seeds["origin_d"][s],
+            },
+            "cell_size": sp.cell_size,
+            "prod_d_pad": prod_d_pad,
+            # Padded tails carry sentinel cell ids (prod_d_pad) and -1
+            # qmeta — the replay's LUT scatter drops them exactly like the
+            # device build does.
+            "d_cells": sp.seeds["d_cells"][s],
+            "qmeta_vals": sp.seeds["qmeta_vals"][s],
+        }
+        for src in sources:
+            best = max(
+                best, _fp.estimate_pool_demand_rows(plan_like, src)
+            )
+    return best
+
+
 class ShardedPools(NamedTuple):
     """Device pool state, every array's leading axis = n_shards (shard it
     over ``"targets"``)."""
@@ -351,7 +387,9 @@ def build_sharded_pools_device(
                 def one(x):
                     have = getattr(jax.typeof(x), "vma", frozenset())
                     need = tuple(a for a in both if a not in have)
-                    return lax.pvary(x, need) if need else x
+                    if not need:
+                        return x
+                    return lax.pcast(x, need, to="varying")
 
                 return jax.tree.map(one, tree)
 

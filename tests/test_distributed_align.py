@@ -186,3 +186,96 @@ def test_debug_replication_check_passes():
     )
     qs = np.asarray(outs[0])
     assert np.isfinite(qs).all(), "replication check poisoned the outputs"
+
+
+def _world_sequence(n_scans=4, n=3000, seed=11):
+    """A moving-sensor sequence over a fixed random world (the odometry
+    fixture shape: scan i = world seen from pose i)."""
+    rng = np.random.default_rng(seed)
+    world = rng.uniform(0, 20, size=(n, 3))
+    world[:, 2] = rng.normal(scale=0.5, size=n)
+    th = 0.02
+    rot = np.array([
+        [np.cos(th), -np.sin(th), 0.0],
+        [np.sin(th), np.cos(th), 0.0],
+        [0.0, 0.0, 1.0],
+    ])
+    delta = np.eye(4)
+    delta[:3, :3] = rot
+    delta[:3, 3] = [0.15, -0.05, 0.02]
+    scans, pose = [], np.eye(4)
+    for _ in range(n_scans):
+        inv = np.linalg.inv(pose)
+        scans.append(world @ inv[:3, :3].T + inv[:3, 3])
+        pose = pose @ delta
+    return scans
+
+
+def test_mesh_odometry_matches_single_device(tmp_path):
+    """run_odometry(mesh=...) — the multi-device SEQUENCE pipeline: per-pair
+    DistributedRegistration with prep-thread-staged shard plans + device
+    pool builds. Trajectory must match the single-device sequence at 5e-6
+    and the checkpoint/resume contract must hold on the mesh path."""
+    from probabilistic_point_clouds_registration_tpu.models.odometry import (
+        load_checkpoint,
+        run_odometry,
+    )
+
+    scans = _world_sequence()
+    params = _params(n_iter=4, cost_drop_thresh=-1.0)
+
+    seq_single = run_odometry(scans, params)
+    mesh = make_mesh(2, 4)
+    ck = tmp_path / "traj.json"
+    seq_mesh = run_odometry(scans, params, mesh=mesh, checkpoint_path=ck)
+
+    assert len(seq_mesh.poses) == len(seq_single.poses)
+    for a, b in zip(seq_mesh.poses, seq_single.poses):
+        np.testing.assert_allclose(a, b, atol=5e-6)
+    # Reports align pair-for-pair (same columns, same iteration counts).
+    assert len(seq_mesh.reports) == len(seq_single.reports)
+    for ra, rb in zip(seq_mesh.reports, seq_single.reports):
+        assert len(ra.strip().splitlines()) == len(rb.strip().splitlines())
+
+    # Resume: a fresh run against the completed checkpoint must return the
+    # identical trajectory without re-registering any pair.
+    resumed = run_odometry(scans, params, mesh=mesh, checkpoint_path=ck)
+    for a, b in zip(resumed.poses, seq_mesh.poses):
+        np.testing.assert_allclose(a, b, atol=0)
+    # Partial resume: drop the last pair from the checkpoint and re-run.
+    from probabilistic_point_clouds_registration_tpu.models.odometry import (
+        OdometryResult,
+        save_checkpoint,
+    )
+
+    partial = OdometryResult(
+        poses=seq_mesh.poses[:-1],
+        relative_transforms=seq_mesh.relative_transforms[:-1],
+        per_pair_cost=seq_mesh.per_pair_cost[:-1],
+        reports=seq_mesh.reports[:-1],
+    )
+    save_checkpoint(ck, partial)
+    resumed2 = run_odometry(scans, params, mesh=mesh, checkpoint_path=ck)
+    assert len(resumed2.poses) == len(seq_mesh.poses)
+    for a, b in zip(resumed2.poses, seq_mesh.poses):
+        np.testing.assert_allclose(a, b, atol=5e-6)
+
+
+def test_distributed_prepared_target_matches_fresh():
+    """A DistributedRegistration built from prepare_target(device=True)
+    must produce the exact same align() as the fresh-constructed one."""
+    src, tgt = _pair(n=2500, seed=21)
+    mesh = make_mesh(2, 2)
+    p = _params(n_iter=3, cost_drop_thresh=-1.0)
+    fresh = DistributedRegistration(src, tgt, p, mesh=mesh)
+    t_fresh = fresh.align()
+    prepared = DistributedRegistration.prepare_target(
+        tgt, p, mesh, device=True
+    )
+    assert prepared["sp"] is not None
+    reg = DistributedRegistration(
+        src, tgt, p, mesh=mesh, prepared_target=prepared
+    )
+    t_prep = reg.align()
+    np.testing.assert_allclose(t_prep, t_fresh, atol=5e-6)
+    assert len(reg.records) == len(fresh.records)
