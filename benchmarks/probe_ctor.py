@@ -22,6 +22,7 @@ def main():
     ap.add_argument("--points", type=int, default=35_000)
     ap.add_argument("--iters", type=int, default=15)
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--fixture", default="bunny", choices=["bunny", "kitti"])
     args = ap.parse_args()
 
     import jax
@@ -51,8 +52,17 @@ def main():
 
     enable_persistent_compilation_cache()
 
-    tgt = bunny_like(args.points)
-    theta = 0.02
+    if args.fixture == "kitti":
+        from probabilistic_point_clouds_registration_tpu.io.synthetic import (
+            kitti_like,
+        )
+
+        tgt = kitti_like(args.points)
+        radius, pad, shift = 0.5, 4096, np.array([0.8, 0.1, 0.02])
+    else:
+        tgt = bunny_like(args.points)
+        radius, pad, shift = 0.075, 1024, np.array([0.02, -0.015, 0.01])
+    theta = 0.02 if args.fixture == "bunny" else 0.01
     rot = np.array(
         [
             [np.cos(theta), -np.sin(theta), 0.0],
@@ -60,10 +70,10 @@ def main():
             [0.0, 0.0, 1.0],
         ]
     )
-    src = tgt @ rot.T + np.array([0.02, -0.015, 0.01])
+    src = tgt @ rot.T + shift
     params = RegistrationParams(
-        max_neighbours=20, dof=5.0, radius=0.075, n_iter=args.iters,
-        cost_drop_thresh=-1.0, dtype="float32", pad_multiple=1024,
+        max_neighbours=20, dof=5.0, radius=radius, n_iter=args.iters,
+        cost_drop_thresh=-1.0, dtype="float32", pad_multiple=pad,
         max_inner_iterations=50, outer_chunk=args.iters,
     )
 
@@ -115,7 +125,7 @@ def main():
             pair.setdefault(key, []).append(val)
     emit(
         {
-            "config": f"bunny{args.points // 1000}k_ctor_breakdown",
+            "config": f"{args.fixture}{args.points // 1000}k_ctor_breakdown",
             "metric": "seconds",
             "unit": "s",
             "iters": args.iters,

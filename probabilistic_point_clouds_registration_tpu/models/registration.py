@@ -690,15 +690,23 @@ class ProbabilisticRegistration:
             )
 
             enable_persistent_compilation_cache()
-        from ..ops.grid import build_grid_host
+        from ..ops.grid import add_buckets_host, build_grid_host
 
         tg, n_tgt = pad_cloud(target, params.pad_multiple, pad_value=0.0)
         grid = None
         pool_plan = None
+        # The pooled engine reads only the grid's cell-sorted view, so when
+        # it is the expected engine the allocation-heavy bucket half of the
+        # grid build is SKIPPED (roughly half the KITTI-scale host build);
+        # it is materialized below the moment the pool plan declines.
+        try_pool = params.search_impl in ("auto", "pool") and (
+            params.search_impl == "pool" or jax.default_backend() == "tpu"
+        )
         if params.search_impl in ("auto", "grid", "fused", "pool"):
             grid = build_grid_host(
                 tg, params.radius, num_valid=n_tgt,
                 max_overflow=params.grid_max_overflow,
+                buckets=not try_pool,
             )
         # The ctor drops the grid entirely (brute-force engine) on "auto"
         # when the candidate set is too close to M — replicate that density
@@ -708,20 +716,21 @@ class ProbabilisticRegistration:
             params.search_impl == "auto"
             and 27 * grid["capacity"] * 8 > n_tgt
         )
-        if grid_kept and params.search_impl in ("auto", "pool"):
+        if grid_kept and try_pool:
             from ..ops.fused_pool import plan_pool_host
 
-            if params.search_impl == "pool" or jax.default_backend() == "tpu":
-                # The pooled engine is the TPU default at every density
-                # (ctor engine selection below); precompute its host plan
-                # here (dilation + class planning + packed sort — ~0.5 s at
-                # KITTI scale) so sequence pipelines overlap it with device
-                # compute. False = "attempted and DECLINED" (vs None =
-                # never attempted): the ctor must not re-run the host plan
-                # just to decline again.
-                pool_plan = plan_pool_host(grid, tg)
-                if pool_plan is None:
-                    pool_plan = False
+            # Precompute the pooled host plan here (dilation + class
+            # planning + packed sort) so sequence pipelines overlap it with
+            # device compute. False = "attempted and DECLINED" (vs None =
+            # never attempted): the ctor must not re-run the host plan just
+            # to decline again.
+            pool_plan = plan_pool_host(grid, tg)
+            if pool_plan is None:
+                pool_plan = False
+        if grid is not None and grid_kept and try_pool and pool_plan is False:
+            # Pool declined: the grid/fused fallback will need the bucket
+            # tensors — build them on this (prep) thread, not the ctor's.
+            add_buckets_host(grid, tg)
         prepared = {
             "target_cloud": target,
             "tg": tg,
@@ -966,7 +975,10 @@ class ProbabilisticRegistration:
                     f"classes {pool.class_widths} x {pool.class_ends}\n"
                 )
             if self._pool is None and params.search_impl in ("auto", "fused"):
-                counts = (grid["bucket_idx"] >= 0).sum(axis=1)
+                # Live bucket slots per cell = min(count, capacity) — same
+                # value as (bucket_idx >= 0).sum(1) without requiring the
+                # bucket tensors (bucketless pooled-path grids).
+                counts = np.minimum(grid["cell_count"], grid["capacity"])
                 est_rows = int(np.ceil(counts / _fg.GROUP).sum()) * _fg.GROUP
                 dense_fit = est_rows <= 1.7 * self._tg_padded.shape[0]
                 if params.search_impl == "fused" or (on_tpu and dense_fit):
@@ -1027,9 +1039,13 @@ class ProbabilisticRegistration:
         """
         if self._grid is not None or self._grid_host is None:
             return self._grid
-        from ..ops.grid import HashGrid
+        from ..ops.grid import HashGrid, add_buckets_host
 
         grid = self._grid_host
+        # Pooled pairs build the grid WITHOUT its bucket tensors (the pool
+        # plan only reads the cell-sorted view); the fallback engines need
+        # them — materialize on first use.
+        add_buckets_host(grid, self._tg_padded)
         np_dtype = np.dtype(self.params.dtype)
         host = {k: v for k, v in grid.items() if isinstance(v, np.ndarray)}
         host["bucket_pts"] = grid["bucket_pts"].astype(np_dtype)

@@ -221,7 +221,7 @@ def _neighbor_rows(base_e, d_cells_e, off_e, *, prod_e: int):
 
 @partial(jax.jit, static_argnames=("plan_key",))
 def _build_pools(packed, cell_start, cell_count, base_e, d_cells_e, off_e,
-                 d_cells, row_vals, qmeta_vals, *, plan_key):
+                 row_vals, dims_d, *, plan_key):
     """The whole device half of the pool prepack as ONE program.
 
     ``plan_key`` is the static pool geometry from :func:`plan_pool_host`:
@@ -233,11 +233,61 @@ def _build_pools(packed, cell_start, cell_count, base_e, d_cells_e, off_e,
     at ``w_assemble`` lanes, pads each to its W//F-lane segment, and packs
     F side by side per pool row (segment-major — window i of a row owns
     lanes [i*W//F, (i+1)*W//F), matching seg_lut's (f, gseg, ws) metadata).
-    Returns (pool_xyz tuple, pool_idx tuple, lut_d).
+
+    Everything the host plan can cheaply express is RE-DERIVED here instead
+    of uploaded (round-5 seed shrink — the ~9.6 MB KITTI seed upload was
+    the warm pool build's bottleneck on the tunneled link): the search-grid
+    cell ids ``d_cells`` from the double-extended ids, the packed
+    (pool row << 9 | seg meta) grouping values from ``row_vals`` + the
+    static band layout, and the per-pool-row width/union bounds from the
+    neighbor-row table + per-cell counts. The host keeps its own copies in
+    the plan dict (the demand replay reads them), but they never cross the
+    link. Returns (pool_xyz tuple, pool_idx tuple, lut_d, width_lut,
+    union_lut).
     """
     widths, ends, prod_d, prod_e, dtype_name, build_bands = plan_key
     dtype = jnp.dtype(dtype_name)
     ud_pad = ends[-1] if ends else 0
+
+    # d_cells (the (+2)-extended SEARCH grid's linear ids) from the
+    # double-extended ids: xe-1 etc. Dilated ids are >= 1 by construction
+    # (occupied cells sit at coords+2), so the 0-padded tail is detectable
+    # and maps to the dropped sentinel exactly like the host pad1 did.
+    e0 = dims_d[0] + 2
+    e1 = dims_d[1] + 2
+    xe = d_cells_e % e0
+    re_ = d_cells_e // e0
+    ye = re_ % e1
+    ze = re_ // e1
+    d_cells = jnp.where(
+        d_cells_e > 0,
+        (xe - 1) + dims_d[0] * ((ye - 1) + dims_d[1] * (ze - 1)),
+        prod_d,
+    )
+
+    # Static per-pad-position q_lut / seg_lut (pure functions of the band
+    # layout — XLA folds the iota arithmetic to constants), gathered with
+    # the data-dependent row_vals permutation into the packed grouping
+    # values (see plan_pool_host for the host-side original).
+    q_parts, s_parts = [], []
+    row_cursor = 0
+    for w_cls, layout in zip(widths, build_bands):
+        for _wa, f, npad in layout:
+            gseg = GROUP // f
+            ws = w_cls // f
+            p_local = jnp.arange(npad, dtype=jnp.int32)
+            q_parts.append(row_cursor + p_local // f)
+            s_parts.append(
+                (p_local % f)
+                | (int(np.log2(gseg)) << 3)
+                | (int(np.log2(ws)) << 5)
+            )
+            row_cursor += npad // f
+    zero1 = jnp.zeros((1,), jnp.int32)
+    q_lut = jnp.concatenate(q_parts + [zero1]) if q_parts else zero1
+    seg_lut = jnp.concatenate(s_parts + [zero1]) if s_parts else zero1
+    qmeta_vals = (q_lut[row_vals] << 9) | seg_lut[row_vals]
+
     # lut_d values are the PACKED (pool row << 9 | seg meta) grouping keys,
     # not window ids — _group_by_row's single-gather contract.
     lut_d = _scatter_lut(d_cells, qmeta_vals, prod_d=prod_d)
@@ -249,6 +299,38 @@ def _build_pools(packed, cell_start, cell_count, base_e, d_cells_e, off_e,
         .at[row_vals]
         .set(nrows_real, mode="drop")
     )
+
+    # Per-pool-row kernel width / union bounds from the real candidate
+    # unions (sum of the 27 neighbor cells' counts; band tails are dead
+    # rows with zero counts — same values the host derived).
+    u_padded = jnp.sum(
+        jnp.where(
+            nrows_dev >= 0, cell_count[jnp.maximum(nrows_dev, 0)], 0
+        ),
+        axis=1,
+        dtype=jnp.int32,
+    )
+    w_parts, u_parts = [], []
+    pad_cursor = 0
+    for w_cls, layout in zip(widths, build_bands):
+        for _wa, f, npad in layout:
+            ws = w_cls // f
+            u_mat = u_padded[pad_cursor : pad_cursor + npad].reshape(
+                npad // f, f
+            )
+            u_parts.append(jnp.max(u_mat, axis=1))
+            lane_off = (jnp.arange(f, dtype=jnp.int32) * ws)[None, :]
+            top = jnp.where(
+                u_mat > 0, lane_off + jnp.minimum(u_mat, ws), 0
+            )
+            w_parts.append(
+                jnp.minimum(
+                    (jnp.max(top, axis=1) + 127) // 128 * 128, w_cls
+                )
+            )
+            pad_cursor += npad
+    width_lut = jnp.concatenate(w_parts + [zero1]) if w_parts else zero1
+    union_lut = jnp.concatenate(u_parts + [zero1]) if u_parts else zero1
     pool_xyz, pool_idx = [], []
     prev = 0
     for c, w_c in enumerate(widths):
@@ -297,7 +379,7 @@ def _build_pools(packed, cell_start, cell_count, base_e, d_cells_e, off_e,
             )
         )
         prev = ends[c]
-    return tuple(pool_xyz), tuple(pool_idx), lut_d
+    return tuple(pool_xyz), tuple(pool_idx), lut_d, width_lut, union_lut
 
 
 def _pool_block(n_rows: int, w_c: int) -> int:
@@ -921,7 +1003,12 @@ def pool_seed_host(plan: dict, dtype=np.float32) -> dict:
     :func:`build_pool_prepack` and callers that merge these seeds into a
     larger single ``jax.device_put`` (models/registration.py ctor — on a
     tunneled chip every separate put pays RPC latency, so the ctor ships
-    source rows + seeds in ONE transfer)."""
+    source rows + seeds in ONE transfer).
+
+    Deliberately NOT shipped (derived on device in :func:`_build_pools`):
+    d_cells, qmeta_vals, width_lut, union_lut — together ~45% of the KITTI
+    seed bytes, and the warm pool build is upload-bound on the tunnel
+    (docs/PERF.md round-5 seed shrink)."""
     dil = plan["dil"]
     return {
         "packed": plan["packed"],
@@ -930,13 +1017,9 @@ def pool_seed_host(plan: dict, dtype=np.float32) -> dict:
         "base_e": plan["base_e"],
         "d_cells_e": plan["d_cells_e"],
         "off_e": plan["off_e"],
-        "d_cells": plan["d_cells"],
         "row_vals": plan["row_vals"],
-        "qmeta_vals": plan["qmeta_vals"],
         "dims_d": dil["dims_d"],
         "origin_d": dil["origin_d"].astype(dtype),
-        "width_lut": plan["width_lut"],
-        "union_lut": plan["union_lut"],
     }
 
 
@@ -990,16 +1073,15 @@ def build_pool_prepack(
         np.dtype(dtype).name,
         plan["bands"],
     )
-    pool_xyz, pool_idx, lut_d = _build_pools(
+    pool_xyz, pool_idx, lut_d, width_lut, union_lut = _build_pools(
         dev["packed"],
         dev["cell_start"],
         dev["cell_count"],
         dev["base_e"],
         dev["d_cells_e"],
         dev["off_e"],
-        dev["d_cells"],
         dev["row_vals"],
-        dev["qmeta_vals"],
+        dev["dims_d"],
         plan_key=plan_key,
     )
 
@@ -1009,8 +1091,8 @@ def build_pool_prepack(
         class_widths=tuple(widths),
         class_ends=tuple(plan["row_ends"]),
         class_budgets=tuple(plan["budgets"]),
-        width_lut=dev["width_lut"],
-        union_lut=dev["union_lut"],
+        width_lut=width_lut,
+        union_lut=union_lut,
         # NOTE: lut_d values are packed (pool row << 9 | segment meta)
         # grouping keys (_group_by_row), not window ids.
         lut_d=lut_d,

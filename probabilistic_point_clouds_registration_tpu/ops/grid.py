@@ -96,6 +96,7 @@ def build_grid_host(
     *,
     num_valid: int | None = None,
     max_overflow: int = 0,
+    buckets: bool = True,
 ) -> dict | None:
     """Host-side grid build: all-numpy, no device transfers.
 
@@ -114,6 +115,14 @@ def build_grid_host(
     ``overflow_pts``/``overflow_idx`` and the search engines merge them back
     through a streaming brute pass (ops.grid.merge_overflow) — identical
     neighbor sets, bounded window width.
+
+    ``buckets=False`` skips the (U, capacity[, 3]) bucket tensors, the
+    overflow split, and the dense LUT — the allocation-heavy half of the
+    build that only the XLA grid/dense-fused engines read. The pooled
+    engine consumes just the cell-sorted view (sort_order / cell_start /
+    cell_count), so pooled-pair prep passes False (~half the KITTI-scale
+    host build); :func:`add_buckets_host` fills the skipped fields in
+    place if a fallback engine later needs them.
     """
     target = np.asarray(target, dtype=np.float64)
     m_total = target.shape[0]
@@ -159,17 +168,6 @@ def build_grid_host(
     # (dilation must not decode the sentinel ids).
     dims_prod = int(dims[0]) * int(dims[1]) * int(dims[2])
     u_pad = bucket_rows(u)
-    # Materialized padded buckets: contiguous per-cell coordinate rows.
-    # Points past ``capacity`` within their cell become overflow.
-    cell_row = np.searchsorted(cell_ids, lin_sorted)
-    slot_of = np.arange(n) - start[cell_row]
-    in_cap = slot_of < capacity
-    bucket_idx = np.full((u_pad, capacity), -1, dtype=np.int32)
-    bucket_idx[cell_row[in_cap], slot_of[in_cap]] = order[in_cap].astype(np.int32)
-    bucket_pts = np.zeros((u_pad, capacity, 3), dtype=target.dtype)
-    live = bucket_idx >= 0
-    bucket_pts[live] = pts[bucket_idx[live]]
-
     cell_ids_pad = np.full((u_pad,), dims_prod, dtype=np.int32)
     cell_ids_pad[:u] = cell_ids
     start_pad = np.full((u_pad,), n, dtype=np.int32)
@@ -177,8 +175,6 @@ def build_grid_host(
     counts_pad_arr = np.zeros((u_pad,), dtype=np.int32)
     counts_pad_arr[:u] = counts
     out = {
-        "bucket_pts": bucket_pts,
-        "bucket_idx": bucket_idx,
         "cell_ids": cell_ids_pad,
         "num_cells": u,
         "capacity": capacity,
@@ -193,7 +189,49 @@ def build_grid_host(
         "sort_order": order.astype(np.int32),
         "cell_start": start_pad,
         "cell_count": counts_pad_arr,
+        "_target_dtype": target.dtype,
     }
+    if buckets:
+        add_buckets_host(out, target)
+    return out
+
+
+def add_buckets_host(grid: dict, target: np.ndarray) -> dict:
+    """Materialize the bucket tensors / overflow split / dense LUT a
+    ``buckets=False`` build skipped (in place; idempotent).
+
+    Called when a pooled pair falls back to the XLA grid or dense fused
+    engine (models/registration._ensure_grid_device) — the rare path pays
+    the allocation-heavy half of the build, not every pooled pair.
+    """
+    if "bucket_idx" in grid:
+        return grid
+    target = np.asarray(target, dtype=grid.get("_target_dtype", np.float64))
+    n = grid["num_valid"]
+    pts = target[:n]
+    u = grid["num_cells"]
+    u_pad = grid["cell_ids"].shape[0]
+    capacity = grid["capacity"]
+    order = grid["sort_order"]
+    start = grid["cell_start"][:u].astype(np.int64)
+    counts = grid["cell_count"][:u].astype(np.int64)
+    dims = grid["dims"].astype(np.int64)
+    dims_prod = int(dims[0]) * int(dims[1]) * int(dims[2])
+    cell_ids = grid["cell_ids"][:u]
+
+    # Points past ``capacity`` within their cell become overflow.
+    cell_row = np.repeat(np.arange(u), counts)
+    slot_of = np.arange(n) - np.repeat(start, counts)
+    in_cap = slot_of < capacity
+    bucket_idx = np.full((u_pad, capacity), -1, dtype=np.int32)
+    bucket_idx[cell_row[in_cap], slot_of[in_cap]] = order[in_cap].astype(
+        np.int32
+    )
+    bucket_pts = np.zeros((u_pad, capacity, 3), dtype=target.dtype)
+    live = bucket_idx >= 0
+    bucket_pts[live] = pts[bucket_idx[live]]
+    grid["bucket_pts"] = bucket_pts
+    grid["bucket_idx"] = bucket_idx
     n_over = int((~in_cap).sum())
     if n_over:
         op = round_up(n_over, 128)
@@ -202,14 +240,14 @@ def build_grid_host(
         overflow_idx[:n_over] = ov_rows.astype(np.int32)
         overflow_pts = np.zeros((op, 3), dtype=target.dtype)
         overflow_pts[:n_over] = pts[ov_rows]
-        out["overflow_pts"] = overflow_pts
-        out["overflow_idx"] = overflow_idx
+        grid["overflow_pts"] = overflow_pts
+        grid["overflow_idx"] = overflow_idx
     if dims_prod <= _MAX_DENSE_LUT_CELLS:
         # Pow2-padded length: the LUT's shape keys the jitted search too.
         lut_np = np.full((pow2(dims_prod),), -1, dtype=np.int32)
         lut_np[cell_ids] = np.arange(u, dtype=np.int32)
-        out["lut"] = lut_np
-    return out
+        grid["lut"] = lut_np
+    return grid
 
 
 def build_grid(

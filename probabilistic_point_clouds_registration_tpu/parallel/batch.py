@@ -368,7 +368,10 @@ def _batched_pools_host(stack, counts, idx_tgt, radius, k, dtype,
     uniq_ids = sorted({int(i) for i in idx_tgt})
     grids = {}
     for i in uniq_ids:
-        g = build_grid_host(stack[i], radius, num_valid=int(counts[i]))
+        # buckets=False: the pooled plan reads only the cell-sorted view.
+        g = build_grid_host(
+            stack[i], radius, num_valid=int(counts[i]), buckets=False
+        )
         if g is None:
             return None
         grids[i] = g

@@ -183,7 +183,9 @@ def build_sharded_pool_host(
 
     grids = []
     for rows in rows_of:
-        g = build_grid_host(target[rows], cell_size)
+        # buckets=False: the pooled plan reads only the cell-sorted view
+        # (the sharded grid FALLBACK builds its own bucketed grids).
+        g = build_grid_host(target[rows], cell_size, buckets=False)
         if g is None:
             return None
         grids.append(g)
@@ -333,23 +335,29 @@ def build_sharded_pools_device(
     """
     P = jax.sharding.PartitionSpec
     t_spec = jax.sharding.NamedSharding(mesh, P(TARGETS_AXIS))
-    # width/union luts and geometry are consumed by the SEARCH, not the
-    # pool packing — upload them once below, not into the packing seeds.
+    # Only the true build seeds cross the link: width/union luts, the
+    # grouping keys, and the search-grid cell ids are DERIVED on device
+    # inside _build_pools (the host copies stay in sp.seeds for the demand
+    # replay); origin_d is search-only and uploads once below.
     dev = {
         key: jax.device_put(np.asarray(v), t_spec)
         for key, v in sp.seeds.items()
-        if key not in ("width_lut", "union_lut", "dims_d", "origin_d")
+        if key
+        not in ("width_lut", "union_lut", "qmeta_vals", "d_cells", "origin_d")
     }
     plan_key = sp.plan_key[:4] + (np.dtype(dtype).name,) + sp.plan_key[5:]
     dp = mesh.shape[POINTS_AXIS]
+    _BUILD_KEYS = (
+        "packed", "cell_start", "cell_count", "base_e", "d_cells_e",
+        "off_e", "row_vals", "dims_d",
+    )
 
     def build(packed, cell_start, cell_count, base_e, d_cells_e, off_e,
-              d_cells, row_vals, qmeta_vals):
+              row_vals, dims_d):
         sq = lambda a: a.reshape(a.shape[1:])
         return _fp._build_pools.__wrapped__(
             sq(packed), sq(cell_start), sq(cell_count), sq(base_e),
-            sq(d_cells_e), sq(off_e), sq(d_cells), sq(row_vals),
-            sq(qmeta_vals),
+            sq(d_cells_e), sq(off_e), sq(row_vals), sq(dims_d),
             plan_key=plan_key,
         )
 
@@ -360,21 +368,18 @@ def build_sharded_pools_device(
             jax.ShapeDtypeStruct(
                 (1,) + sp.seeds[key].shape[1:], sp.seeds[key].dtype
             )
-            for key in (
-                "packed", "cell_start", "cell_count", "base_e",
-                "d_cells_e", "off_e", "d_cells", "row_vals", "qmeta_vals",
-            )
+            for key in _BUILD_KEYS
         ),
     )
 
     def body(packed, cell_start, cell_count, base_e, d_cells_e, off_e,
-             d_cells, row_vals, qmeta_vals):
+             row_vals, dims_d):
         args = (packed, cell_start, cell_count, base_e, d_cells_e, off_e,
-                d_cells, row_vals, qmeta_vals)
+                row_vals, dims_d)
         # _replicate_build: the pre-round-5 every-device build, kept for
         # the A/B measurement (benchmarks/probe_pool_build.py).
         if dp == 1 or _replicate_build:
-            pool_xyz, pool_idx, lut_d = build(*args)
+            pool_xyz, pool_idx, lut_d, width_lut, union_lut = build(*args)
         else:
             # Both branches must agree on vma types: empty classes' pool
             # arrays are pure constants (unvarying) in the build branch
@@ -404,7 +409,7 @@ def build_sharded_pools_device(
                 args,
             )
             # Broadcast along "points": exactly one row contributed.
-            pool_xyz, pool_idx, lut_d = jax.tree.map(
+            pool_xyz, pool_idx, lut_d, width_lut, union_lut = jax.tree.map(
                 lambda x: lax.psum(x, POINTS_AXIS), built
             )
         add = lambda a: a[None]
@@ -412,6 +417,8 @@ def build_sharded_pools_device(
             tuple(add(x) for x in pool_xyz),
             tuple(add(x) for x in pool_idx),
             add(lut_d),
+            add(width_lut),
+            add(union_lut),
         )
 
     nc = len(sp.class_widths)
@@ -419,27 +426,25 @@ def build_sharded_pools_device(
         jax.shard_map(
             body,
             mesh=mesh,
-            in_specs=(P(TARGETS_AXIS),) * 9,
+            in_specs=(P(TARGETS_AXIS),) * 8,
             out_specs=(
                 (P(TARGETS_AXIS),) * nc,
                 (P(TARGETS_AXIS),) * nc,
                 P(TARGETS_AXIS),
+                P(TARGETS_AXIS),
+                P(TARGETS_AXIS),
             ),
         )
-    )(
-        dev["packed"], dev["cell_start"], dev["cell_count"], dev["base_e"],
-        dev["d_cells_e"], dev["off_e"], dev["d_cells"], dev["row_vals"],
-        dev["qmeta_vals"],
-    )
-    pool_xyz, pool_idx, lut_d = built
+    )(*(dev[key] for key in _BUILD_KEYS))
+    pool_xyz, pool_idx, lut_d, width_lut, union_lut = built
     return ShardedPools(
         pool_xyz=pool_xyz,
         pool_idx=pool_idx,
-        width_lut=jax.device_put(sp.seeds["width_lut"], t_spec),
-        union_lut=jax.device_put(sp.seeds["union_lut"], t_spec),
+        width_lut=width_lut,
+        union_lut=union_lut,
         lut_d=lut_d,
         origin_d=jax.device_put(sp.seeds["origin_d"].astype(dtype), t_spec),
-        dims_d=jax.device_put(sp.seeds["dims_d"], t_spec),
+        dims_d=dev["dims_d"],
     )
 
 
