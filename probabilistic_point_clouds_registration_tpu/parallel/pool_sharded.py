@@ -613,11 +613,21 @@ def make_sharded_pool_registration_step(
             overflow=P(),
         ),
         # Merge outputs are replicated along "targets" (invariant gather)
-        # and psum-reduced along "points". check_vma must stay OFF here:
-        # pallas_call's out_shape carries no vma metadata, so the static
-        # checker rejects any kernel inside a checked shard_map — replication
-        # is instead asserted at runtime (tests/test_pool_sharded.py parity
-        # vs the single-device pooled engine).
+        # and psum-reduced along "points". check_vma must stay OFF on the
+        # two POOLED shard_maps (here and the align scan below) because of
+        # the Pallas kernel inside: jax 0.9 *can* type a pallas_call under
+        # check_vma via jax.ShapeDtypeStruct(..., vma=...), but only for
+        # the compiled (Mosaic) lowering — pallas' interpret mode
+        # (hlo_interpreter) evaluates the kernel body under the vma type
+        # system and fails on any op mixing kernel constants with
+        # vma-carrying operands ("Primitive mul requires varying manual
+        # axes to match"). Every CPU test and the driver dryrun runs
+        # interpret mode, so a vma-annotated out_shape would be untestable
+        # here; replication is asserted at RUNTIME instead
+        # (debug_replication above — exercised by the dryrun and
+        # tests/test_distributed_align.py — plus the single-device parity
+        # suites). The jax feature that would remove this site: interpret-
+        # mode pallas_call honoring out_shape vma like Mosaic does.
         check_vma=False,
     )
     jitted = jax.jit(sharded)
@@ -810,9 +820,10 @@ def make_sharded_pool_align_scan(
             P(), P(), P(), P(), P(), P(), P(),
         ),
         out_specs=(P(),) * 10,
-        # Same check_vma story as the step factory above: pallas_call's
-        # out_shape carries no vma metadata. Replication is asserted at
-        # runtime instead (debug_replication + the parity tests).
+        # Same check_vma story as the step factory above (interpret-mode
+        # pallas cannot carry the out_shape vma the checker needs; see the
+        # full note there). Replication is asserted at runtime instead
+        # (debug_replication + the parity tests).
         check_vma=False,
     )
     jitted = jax.jit(sharded)
