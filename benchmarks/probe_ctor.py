@@ -111,13 +111,10 @@ def main():
             ("prepack_upload_build", t4 - t3),
         ):
             phases.setdefault(key, []).append(val)
+    # The bytes that actually cross the link (pool_seed_host is the upload
+    # dict — d_cells / qmeta / width / union luts are derived on device).
     seed_bytes = sum(
-        np.asarray(plan[key]).nbytes
-        for key in (
-            "packed", "cell_start", "cell_count", "base_e", "d_cells_e",
-            "off_e", "d_cells", "row_vals", "qmeta_vals", "width_lut",
-            "union_lut",
-        )
+        np.asarray(v).nbytes for v in fp.pool_seed_host(plan).values()
     )
     pair = {}
     for _ in range(args.repeats):
