@@ -44,6 +44,7 @@ distance tie class (same caveat as ops/neighbors.py:16).
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import NamedTuple
 
@@ -84,6 +85,15 @@ MAX_POOL_BYTES = 2 << 30
 # sort (every in-radius candidate is a neighbor — no selection exists to
 # do).
 XLA_SELECT_MAX_W = 64
+
+
+def _narrow_block_groups() -> int:
+    """Groups per Pallas grid step for NARROW (<=256-lane) dyn-rounds
+    classes. 32 halves the per-block fixed cost of the dominant KITTI pass
+    vs the wide classes' 16 (VMEM still comfortable at these widths);
+    PCR_NARROW_BLOCK_GROUPS overrides for A/B probes (64 measured
+    round 5: see docs/PERF.md)."""
+    return int(os.environ.get("PCR_NARROW_BLOCK_GROUPS", 2 * BLOCK_GROUPS))
 
 
 def _select_max_w() -> int:
@@ -1372,7 +1382,7 @@ def fused_pool_search(
         # more rounds live on the Mosaic stack and OOMs at 32 groups, so
         # it stays at 16.
         bg = (
-            2 * BLOCK_GROUPS
+            _narrow_block_groups()
             if dyn_rounds and smw < w_c <= 256
             else BLOCK_GROUPS
         )

@@ -15,34 +15,20 @@ from pathlib import Path
 _enabled = False
 
 
-def _host_fingerprint() -> str:
-    """Short hash of the host CPU's feature flags (/proc/cpuinfo)."""
-    import hashlib
-
-    try:
-        for line in Path("/proc/cpuinfo").read_text().splitlines():
-            if line.startswith("flags"):
-                flags = " ".join(sorted(line.split(":", 1)[1].split()))
-                return hashlib.sha1(flags.encode()).hexdigest()[:12]
-    except OSError:
-        pass
-    import platform
-
-    return hashlib.sha1(platform.processor().encode()).hexdigest()[:12]
-
-
 def enable_persistent_compilation_cache() -> bool:
-    """Idempotently point JAX's compilation cache at a durable directory.
+    """Idempotently point JAX's compilation cache at ~/.jax_cache — for
+    NON-CPU backends only.
 
-    TPU programs cache at ~/.jax_cache (the remote compiler's output is
-    host-independent). CPU-backend processes use a HOST-FINGERPRINTED
-    directory instead: XLA:CPU persists AOT executables whose cache key
-    does NOT include the host machine features, so entries written by a
-    container scheduled on different hardware SEGFAULT at load (observed:
+    The cache exists for the tunneled TPU, where each static-shape
+    specialization costs minutes on the remote compiler. It is DISABLED on
+    the CPU backend: jax 0.9's XLA:CPU AOT executable serialization is
+    unreliable here — three full-suite runs died with SIGSEGV inside the
+    cache machinery (once in backend_compile_and_load loading an entry
+    compiled on a different host CPU after a container reschedule —
     cpu_aot_loader "machine feature ... not supported on the host machine"
-    errors followed by SIGSEGV inside backend_compile_and_load). A
-    per-CPU-flags directory makes a re-scheduled container recompile
-    instead of loading foreign machine code.
+    — and once in put_executable_and_time serializing a freshly compiled
+    program even with a host-scoped cache directory). CPU compiles are
+    seconds, not minutes; stability wins.
 
     Respects an already-configured cache dir and the opt-out env var.
     Returns True when a cache directory is active after the call.
@@ -61,11 +47,10 @@ def enable_persistent_compilation_cache() -> bool:
     if current:
         _enabled = True
         return True
+    if jax.default_backend() == "cpu":
+        return False
     try:
-        if jax.default_backend() == "cpu":
-            path = Path.home() / f".jax_cache_cpu_{_host_fingerprint()}"
-        else:
-            path = Path.home() / ".jax_cache"
+        path = Path.home() / ".jax_cache"
         path.mkdir(parents=True, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", str(path))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
