@@ -882,6 +882,7 @@ class ProbabilisticRegistration:
         self._prepack = None
         self._pool = None
         self._pool_budget_base = 0
+        self._pool_class_cum = None
         self._fused_interpret = False
         pool = None
         plan = None
@@ -958,8 +959,8 @@ class ProbabilisticRegistration:
                             params.initial_translation, np.float64
                         )
                     )
-                    demand = _fp.estimate_pool_demand_rows(
-                        plan, moved0
+                    demand, cum_groups = _fp.estimate_pool_demand_rows(
+                        plan, moved0, class_row_ends=pool.class_ends
                     )
                     # ~25% buckets: per-pair demand jitters and the
                     # budget is a static of the scan program.
@@ -967,8 +968,17 @@ class ProbabilisticRegistration:
                         pool.budget_rows,
                         bucket_rows(int(1.25 * demand), step_bits=3),
                     )
+                    # Measured per-class cumulative groups: each class
+                    # pass pays streaming + dead-block dispatch over its
+                    # whole PREFIX budget, and the plan's 2x target-proxy
+                    # estimates leave mid-class passes ~40% dead (8.09 ->
+                    # 7.63 ms/iter at 35k with replay-sized budgets). The
+                    # dispatch sizes the budgets from these counts; the
+                    # per-class coverage flag still guards drift.
+                    self._pool_class_cum = cum_groups
                 else:
                     self._pool_budget_base = pool.budget_rows
+                    self._pool_class_cum = None
                 self._fused_interpret = not on_tpu
                 self.out << (
                     f"Pooled engine: {pool.n_dilated} dilated cells, "
@@ -1322,6 +1332,36 @@ class ProbabilisticRegistration:
                     << self._pool_budget_boost,
                     2048,
                 )
+                class_budgets = pool.class_budgets
+                if self._pool_class_cum is not None:
+                    # Demand-sized class-prefix budgets from the ctor's
+                    # grouping replay (1.25x margin, ~25% buckets for
+                    # compile stability, boost-scaled so the escalation
+                    # ladder raises CLASS budgets too — a mid-class
+                    # coverage overflow is otherwise unfixable by row
+                    # doubling alone). The last class always spans the
+                    # full row budget inside fused_pool_search.
+                    from ..ops.fused_grid import BLOCK_GROUPS, GROUP
+
+                    ng_b = round_up(
+                        budget, 2 * BLOCK_GROUPS * GROUP
+                    ) // GROUP
+                    class_budgets = tuple(
+                        min(
+                            ng_b,
+                            round_up(
+                                bucket_rows(
+                                    (int(1.25 * c)
+                                     << self._pool_budget_boost)
+                                    + 4 * BLOCK_GROUPS,
+                                    1024,
+                                    3,
+                                ),
+                                BLOCK_GROUPS,
+                            ),
+                        )
+                        for c in self._pool_class_cum[:-1]
+                    ) + (ng_b,)
                 outs = _registration_scan_pool(
                     self._filtered_src_dev,
                     self._src_valid,
@@ -1342,7 +1382,7 @@ class ProbabilisticRegistration:
                     lm_config=lm_config,
                     class_widths=pool.class_widths,
                     class_ends=pool.class_ends,
-                    class_budgets=pool.class_budgets,
+                    class_budgets=class_budgets,
                     budget_rows=budget,
                     chunk=fchunk,
                     interpret=self._fused_interpret,

@@ -960,7 +960,8 @@ def plan_pool_host_group(grids: list, targets: list) -> list | None:
 
 
 def estimate_pool_demand_rows(plan: dict, source: np.ndarray,
-                              num_valid: int | None = None) -> int:
+                              num_valid: int | None = None,
+                              class_row_ends: tuple | None = None):
     """EXACT padded-row demand of ``_group_by_row`` for a real source cloud.
 
     The plan's row budget is estimated from target occupancy (sources are
@@ -978,6 +979,15 @@ def estimate_pool_demand_rows(plan: dict, source: np.ndarray,
     ``max(plan_budget, margin * demand)`` so the first dispatched program
     already covers the real pair (the overflow flag stays as the guard for
     intra-pair drift).
+
+    ``class_row_ends`` (the prepack's global pool-row ends per class)
+    switches the return to ``(rows, cum_groups)``, where ``cum_groups[c]``
+    is the measured group count of classes <= c — the same replay then
+    demand-sizes the per-class PREFIX budgets too (every class pass pays
+    streaming + dead-block dispatch over its whole prefix, so the plan's
+    2x-estimate mid-class budgets cost real kernel time: 8.09 -> 7.63
+    ms/iter loop-timed at 35k when sized from this replay; docs/PERF.md
+    round 5).
     """
     dil = plan["dil"]
     n = num_valid if num_valid is not None else source.shape[0]
@@ -996,6 +1006,8 @@ def estimate_pool_demand_rows(plan: dict, source: np.ndarray,
     q = lut[lin]
     q = q[q >= 0]
     if q.size == 0:
+        if class_row_ends is not None:
+            return 0, [0] * len(class_row_ends)
         return 0
     # One unique over (row << 9 | seg-meta) keys: rows are the high bits so
     # unique's sorted output is row-contiguous for the reduceat below.
@@ -1005,7 +1017,14 @@ def estimate_pool_demand_rows(plan: dict, source: np.ndarray,
     rows = keys >> 9
     starts = np.flatnonzero(np.diff(rows, prepend=rows[0] - 1))
     per_row_max = np.maximum.reduceat(contrib, starts)
-    return int(GROUP * per_row_max.sum())
+    total = int(GROUP * per_row_max.sum())
+    if class_row_ends is not None:
+        row_ids = rows[starts]
+        cum = [
+            int(per_row_max[row_ids < int(e)].sum()) for e in class_row_ends
+        ]
+        return total, cum
+    return total
 
 
 def pool_seed_host(plan: dict, dtype=np.float32) -> dict:

@@ -290,6 +290,10 @@ def test_pooled_budget_overflow_falls_back_to_grid_mid_pair(thresh, n_drop):
         class_budgets=(16,) * (len(reg._pool.class_budgets) - 1)
         + (reg._pool.class_budgets[-1],)
     )
+    # The dispatch normally REPLACES the plan's class budgets with the
+    # ctor's demand-replay sizing (floored at 1024 groups — unstranglable);
+    # drop that so the strangled plan budgets above reach the program.
+    reg._pool_class_cum = None
     reg.align()
     assert reg._pool is None, "overflow must drop the pooled engine"
     assert reg._grid is not None, "fallback must materialize the grid"
