@@ -126,3 +126,37 @@ def test_registration_uses_demand_budget_no_overflow(capsys):
     reg.align()
     out = capsys.readouterr().out
     assert "budget overflow" not in out
+
+
+def test_demand_per_class_groups_match_device_grouping():
+    """estimate_pool_demand_rows(class_row_ends=...) must return per-class
+    cumulative group counts that (a) sum to the total row demand and
+    (b) upper-bound the device grouping's real class boundaries — the
+    dispatch sizes class-PREFIX budgets from them (1.25x margin), so an
+    undercount would fire the coverage flag on every healthy pair."""
+    src, tgt, radius = _drifted_pair(seed=3)
+    tg, plan, pool = _plan_and_pool(tgt, radius)
+    total, cum = fp.estimate_pool_demand_rows(
+        plan, src, class_row_ends=pool.class_ends
+    )
+    assert total == fp.estimate_pool_demand_rows(plan, src)
+    assert len(cum) == len(pool.class_ends)
+    assert all(b >= a for a, b in zip(cum, cum[1:])), cum
+    assert cum[-1] * GROUP == total
+
+    # Device check: group the real source and count groups whose pool row
+    # falls in each class — the replay must match exactly.
+    fs, n_src = pad_cloud(src, 256, pad_value=0.0)
+    valid = jnp.asarray(np.arange(fs.shape[0]) < n_src)
+    n_rows = pool.width_lut.shape[0] - 1
+    s_pad = round_up(max(total, 2 * BLOCK_GROUPS * GROUP),
+                     2 * BLOCK_GROUPS * GROUP)
+    padded, step_rows, order, dst, overflow = fp._group_by_row(
+        jnp.asarray(fs, jnp.float32), valid, pool.lut_d, pool.origin_d,
+        pool.dims_d, n_rows, radius, s_pad,
+    )
+    assert int(overflow) == 0
+    rows = np.asarray(step_rows)
+    live = rows < n_rows
+    for c, e in zip(cum, pool.class_ends):
+        assert int((live & (rows < e)).sum()) == c
