@@ -273,15 +273,34 @@ class DistributedRegistration(ProbabilisticRegistration):
                 # demand sizing — replay the grouping arithmetic from the
                 # plan's own seeds against the real source slices here
                 # (same numpy replay as the non-prepared path's
-                # build_sharded_pool_host(source_slices=...)).
-                demand = estimate_sharded_demand_rows(self._sp, slices)
+                # build_sharded_pool_host(source_slices=...)), sizing both
+                # the row budget and the class-prefix budgets.
+                demand, cum = estimate_sharded_demand_rows(
+                    self._sp, slices, with_classes=True
+                )
                 from ..core.types import bucket_rows
+                from ..ops.fused_grid import BLOCK_GROUPS
 
+                budgets = tuple(
+                    min(
+                        self._sp.class_budgets[c],
+                        round_up(
+                            bucket_rows(
+                                int(1.25 * cum[c]) + 4 * BLOCK_GROUPS,
+                                1024,
+                                3,
+                            ),
+                            BLOCK_GROUPS,
+                        ),
+                    )
+                    for c in range(len(self._sp.class_budgets) - 1)
+                ) + (self._sp.class_budgets[-1],)
                 self._sp = self._sp._replace(
                     budget_rows=max(
                         self._sp.budget_rows,
                         bucket_rows(int(1.25 * demand), step_bits=3),
                     ),
+                    class_budgets=budgets,
                     demand_sized=True,
                 )
         else:

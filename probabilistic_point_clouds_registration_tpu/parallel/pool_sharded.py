@@ -240,14 +240,37 @@ def build_sharded_pool_host(
     if source_slices:
         from ..core.types import bucket_rows
 
-        demand = max(
-            _fp.estimate_pool_demand_rows(p2, sl)
-            for p2 in plans2
-            for sl in source_slices
-        )
+        demand = 0
+        cum_max = [0] * len(ladder)
+        for p2 in plans2:
+            ends_p = tuple(p2["row_ends"])
+            for sl in source_slices:
+                d, cu = _fp.estimate_pool_demand_rows(
+                    p2, sl, class_row_ends=ends_p
+                )
+                demand = max(demand, d)
+                cum_max = [max(a, b) for a, b in zip(cum_max, cu)]
         budget_rows = max(
             budget_rows, bucket_rows(int(1.25 * demand), step_bits=3)
         )
+        # Demand-sized class-PREFIX budgets (max over every (shard, slice)
+        # replay) — same rationale and margins as the single-device
+        # dispatch (models/registration.py): every class pass pays
+        # streaming + dead-block dispatch over its whole prefix budget,
+        # and the plan's 2x proxies leave mid passes largely dead. The
+        # scan factories' budget-escalation scaling still applies on top.
+        budgets = tuple(
+            min(
+                budgets[c],
+                round_up(
+                    bucket_rows(
+                        int(1.25 * cum_max[c]) + 4 * BLOCK_GROUPS, 1024, 3
+                    ),
+                    BLOCK_GROUPS,
+                ),
+            )
+            for c in range(len(ladder) - 1)
+        ) + (budgets[-1],)
         demand_sized = True
     # dyn-rounds hint from the union of all shards' kernel-class unions
     # (same filter the single-device prepack applies).
@@ -268,8 +291,8 @@ def build_sharded_pool_host(
 
 
 def estimate_sharded_demand_rows(
-    sp: ShardedPoolPlan, sources: list
-) -> int:
+    sp: ShardedPoolPlan, sources: list, with_classes: bool = False
+):
     """Measured grouping demand of real source slices against a PREPARED
     sharded plan (max over every (slice, shard) pair).
 
@@ -279,9 +302,14 @@ def estimate_sharded_demand_rows(
     then replays the grouping arithmetic from the plan's own seed arrays —
     the same numpy replay as fused_pool.estimate_pool_demand_rows, ~20 ms
     per (slice, shard) at KITTI scale.
+
+    ``with_classes=True`` returns ``(rows, cum_groups)`` with the
+    per-class cumulative group counts (max over every (slice, shard)
+    pair) — the ctor then demand-sizes the class-prefix budgets too.
     """
     prod_d_pad = sp.plan_key[2]
     best = 0
+    cum_max = [0] * len(sp.class_ends)
     for s in range(sp.n_shards):
         plan_like = {
             "dil": {
@@ -297,9 +325,16 @@ def estimate_sharded_demand_rows(
             "qmeta_vals": sp.seeds["qmeta_vals"][s],
         }
         for src in sources:
-            best = max(
-                best, _fp.estimate_pool_demand_rows(plan_like, src)
-            )
+            if with_classes:
+                d, cu = _fp.estimate_pool_demand_rows(
+                    plan_like, src, class_row_ends=sp.class_ends
+                )
+                cum_max = [max(a, b) for a, b in zip(cum_max, cu)]
+            else:
+                d = _fp.estimate_pool_demand_rows(plan_like, src)
+            best = max(best, d)
+    if with_classes:
+        return best, cum_max
     return best
 
 
