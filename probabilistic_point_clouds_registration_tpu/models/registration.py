@@ -1126,6 +1126,13 @@ class ProbabilisticRegistration:
         final_cost = float(final_cost)
         self.cost_drop = (initial_cost - final_cost) / initial_cost if initial_cost else 0.0
 
+        # CONSERVATIVE counting: num_iterations == cap cannot distinguish
+        # "converged exactly on the last allowed iteration" from "was
+        # truncated", so a boundary convergence counts as a hit. Zero hits
+        # (the measured state at every production operating point,
+        # BASELINE.md) therefore really does mean behavioral equivalence
+        # with the reference's unbounded Ceres; a nonzero count is an
+        # upper bound on truncations, not an exact tally.
         if int(num_iterations) >= p.max_inner_iterations:
             self.inner_cap_hits += 1
             if self.inner_cap_hits == 1:
@@ -1335,33 +1342,24 @@ class ProbabilisticRegistration:
                 class_budgets = pool.class_budgets
                 if self._pool_class_cum is not None:
                     # Demand-sized class-prefix budgets from the ctor's
-                    # grouping replay (1.25x margin, ~25% buckets for
-                    # compile stability, boost-scaled so the escalation
-                    # ladder raises CLASS budgets too — a mid-class
-                    # coverage overflow is otherwise unfixable by row
-                    # doubling alone). The last class always spans the
-                    # full row budget inside fused_pool_search.
+                    # grouping replay (fused_pool.demand_class_budgets —
+                    # boost-scaled so the escalation ladder raises CLASS
+                    # budgets too; a mid-class coverage overflow is
+                    # otherwise unfixable by row doubling alone). The
+                    # last class always spans the full row budget inside
+                    # fused_pool_search.
+                    from ..ops import fused_pool as _fp
                     from ..ops.fused_grid import BLOCK_GROUPS, GROUP
 
                     ng_b = round_up(
                         budget, 2 * BLOCK_GROUPS * GROUP
                     ) // GROUP
-                    class_budgets = tuple(
-                        min(
-                            ng_b,
-                            round_up(
-                                bucket_rows(
-                                    (int(1.25 * c)
-                                     << self._pool_budget_boost)
-                                    + 4 * BLOCK_GROUPS,
-                                    1024,
-                                    3,
-                                ),
-                                BLOCK_GROUPS,
-                            ),
-                        )
-                        for c in self._pool_class_cum[:-1]
-                    ) + (ng_b,)
+                    class_budgets = _fp.demand_class_budgets(
+                        self._pool_class_cum,
+                        ng_b,
+                        boost=self._pool_budget_boost,
+                        cap=ng_b,
+                    )
                 outs = _registration_scan_pool(
                     self._filtered_src_dev,
                     self._src_valid,

@@ -1027,6 +1027,34 @@ def estimate_pool_demand_rows(plan: dict, source: np.ndarray,
     return total
 
 
+def demand_class_budgets(
+    cum_groups, last_budget: int, *, boost: int = 0, cap: int | None = None
+) -> tuple:
+    """Class-PREFIX budgets from a grouping replay's per-class cumulative
+    group counts (the single source for the three dispatch sites:
+    models/registration.py, parallel/align.py, parallel/pool_sharded.py).
+
+    1.25x margin over the measured counts, ~25% buckets + 1024-group floor
+    (compile stability across a sequence's scans), rounded to the kernel
+    block multiple, ``boost``-shifted so the overflow-escalation ladder
+    raises class budgets too. NOT clamped to the plan's 2x target-proxy
+    estimates: the replay may legitimately EXCEED the proxy (the same
+    shell-cell undercount that motivated the row-budget demand lift), and
+    clamping would reinstate the first-pair coverage overflow the replay
+    exists to avoid. ``cap`` (e.g. the dispatch's total group count)
+    bounds each entry when given; the last class always gets
+    ``last_budget`` (the search forces it to span every group anyway).
+    """
+    out = []
+    for c in cum_groups[:-1]:
+        b = round_up(
+            _bucket_rows((int(1.25 * c) << boost) + 4 * BLOCK_GROUPS, 1024, 3),
+            BLOCK_GROUPS,
+        )
+        out.append(min(cap, b) if cap is not None else b)
+    return tuple(out) + (last_budget,)
+
+
 def pool_seed_host(plan: dict, dtype=np.float32) -> dict:
     """The pool prepack's upload dict (host numpy), shared by
     :func:`build_pool_prepack` and callers that merge these seeds into a
@@ -1405,6 +1433,11 @@ def fused_pool_search(
             if dyn_rounds and smw < w_c <= 256
             else BLOCK_GROUPS
         )
+        if ng % bg:
+            # s_pad only guarantees ng is a multiple of 2*BLOCK_GROUPS; an
+            # env-overridden block size that doesn't divide ng would break
+            # the per-block reshape when b_c clamps to ng.
+            bg = 2 * BLOCK_GROUPS
         # The LAST class always covers every group, including when the
         # caller raised budget_rows above the plan's estimate (the plan's
         # last budget is its own ng; trusting it here would silently skip

@@ -279,22 +279,11 @@ class DistributedRegistration(ProbabilisticRegistration):
                     self._sp, slices, with_classes=True
                 )
                 from ..core.types import bucket_rows
-                from ..ops.fused_grid import BLOCK_GROUPS
+                from ..ops.fused_pool import demand_class_budgets
 
-                budgets = tuple(
-                    min(
-                        self._sp.class_budgets[c],
-                        round_up(
-                            bucket_rows(
-                                int(1.25 * cum[c]) + 4 * BLOCK_GROUPS,
-                                1024,
-                                3,
-                            ),
-                            BLOCK_GROUPS,
-                        ),
-                    )
-                    for c in range(len(self._sp.class_budgets) - 1)
-                ) + (self._sp.class_budgets[-1],)
+                budgets = demand_class_budgets(
+                    cum, self._sp.class_budgets[-1]
+                )
                 self._sp = self._sp._replace(
                     budget_rows=max(
                         self._sp.budget_rows,

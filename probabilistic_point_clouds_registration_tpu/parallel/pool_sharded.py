@@ -255,22 +255,11 @@ def build_sharded_pool_host(
         )
         # Demand-sized class-PREFIX budgets (max over every (shard, slice)
         # replay) — same rationale and margins as the single-device
-        # dispatch (models/registration.py): every class pass pays
-        # streaming + dead-block dispatch over its whole prefix budget,
-        # and the plan's 2x proxies leave mid passes largely dead. The
-        # scan factories' budget-escalation scaling still applies on top.
-        budgets = tuple(
-            min(
-                budgets[c],
-                round_up(
-                    bucket_rows(
-                        int(1.25 * cum_max[c]) + 4 * BLOCK_GROUPS, 1024, 3
-                    ),
-                    BLOCK_GROUPS,
-                ),
-            )
-            for c in range(len(ladder) - 1)
-        ) + (budgets[-1],)
+        # dispatch (fused_pool.demand_class_budgets; NOT clamped to the
+        # plan's 2x proxies — the replay may legitimately exceed them).
+        # The scan factories' budget-escalation scaling and their ng
+        # clamps still apply on top.
+        budgets = _fp.demand_class_budgets(cum_max, budgets[-1])
         demand_sized = True
     # dyn-rounds hint from the union of all shards' kernel-class unions
     # (same filter the single-device prepack applies).
